@@ -1,0 +1,203 @@
+"""Evaluation metrics: Loss / InceptionScore / FID / DBI / Accuracy / MSE /
+BCE / NLL / PSNR.
+
+Behavioral port of reference src/metrics/metrics.py:
+
+- IS (metrics.py:44-81): softmax predictions from a feature model —
+  torchvision inception_v3 for natural-image datasets, the repo's own trained
+  classifier for COIL100/Omniglot — then ``exp(E[KL(p(y|x) || p(y))])`` with
+  ``splits`` (reference uses splits=1 in-loop; the TF CLI uses 10).
+- FID (metrics.py:84-161): Fréchet distance between feature Gaussians of the
+  real train set and the generated set, with the sqrtm jitter/imag guards.
+- DBI (metrics.py:164-166): Davies-Bouldin index on raw flattened pixels,
+  implemented directly (no sklearn dependency).
+
+Feature extraction batches run on device; the O(d^3) sqrtm runs on host via
+scipy like the reference. Feature models are injected (``feature_fn``), which
+keeps this module independent of checkpoint layout; see
+``mcgm_tpu.evals.features`` for the loaders.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import scipy.linalg
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------- elementwise
+def mse(output, target) -> float:
+    return float(jnp.mean((jnp.asarray(output, jnp.float32) - jnp.asarray(target, jnp.float32)) ** 2))
+
+
+def bce(output, target) -> float:
+    """BCE on [-1,1]-scaled images remapped to [0,1] (reference metrics.py:22-27)."""
+    from ..models.vae import binary_cross_entropy
+
+    p = (jnp.asarray(output, jnp.float32) + 1) / 2
+    t = (jnp.asarray(target, jnp.float32) + 1) / 2
+    return float(jnp.mean(binary_cross_entropy(p, t)))
+
+
+def nll(logits, target) -> float:
+    """Cross-entropy over the channel-last class axis (PixelCNN logits)."""
+    logits = jnp.asarray(logits, jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(logp, jnp.asarray(target)[..., None], axis=-1)
+    return float(-jnp.mean(picked))
+
+
+def psnr(output, target, max_val: float = 1.0) -> float:
+    m = jnp.mean((jnp.asarray(output, jnp.float64) - jnp.asarray(target, jnp.float64)) ** 2)
+    return float(20 * math.log10(max_val) - 10 * jnp.log10(m))
+
+
+def accuracy(logits, target, topk: int = 1) -> float:
+    logits = jnp.asarray(logits)
+    pred = jnp.argsort(-logits, axis=1)[:, :topk]
+    correct = jnp.any(pred == jnp.asarray(target)[:, None], axis=1)
+    return float(jnp.mean(correct.astype(jnp.float32)) * 100.0)
+
+
+# ------------------------------------------------------------------ IS / FID
+def inception_score(probs: np.ndarray, splits: int = 1) -> float:
+    """exp of mean KL(p(y|x) || p(y)) per split (reference metrics.py:75-81)."""
+    probs = np.asarray(probs, np.float64)
+    N = probs.shape[0]
+    scores = []
+    for k in range(splits):
+        part = probs[k * (N // splits): (k + 1) * (N // splits)]
+        py = part.mean(axis=0, keepdims=True)
+        kl = part * (np.log(np.maximum(part, 1e-16)) - np.log(np.maximum(py, 1e-16)))
+        scores.append(np.exp(kl.sum(axis=1).mean()))
+    return float(np.mean(scores))
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """reference metrics.py:135-160 (scipy sqrtm + jitter + imag guard)."""
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    assert mu1.shape == mu2.shape and sigma1.shape == sigma2.shape
+    diff = mu1 - mu2
+    covmean, _ = scipy.linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = scipy.linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            raise ValueError(
+                f"Imaginary component {np.max(np.abs(covmean.imag))}"
+            )
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+                 - 2 * np.trace(covmean))
+
+
+def fid_from_features(real_feat: np.ndarray, gen_feat: np.ndarray) -> float:
+    mu1, sigma1 = real_feat.mean(0), np.cov(real_feat, rowvar=False)
+    mu2, sigma2 = gen_feat.mean(0), np.cov(gen_feat, rowvar=False)
+    return frechet_distance(mu1, sigma1, mu2, sigma2)
+
+
+def dbi(img: np.ndarray, label: np.ndarray) -> float:
+    """Davies-Bouldin index on flattened pixels (reference metrics.py:164-166).
+
+    Direct implementation of the sklearn definition: cluster dispersion is the
+    mean Euclidean distance to the centroid; score is the mean over clusters
+    of the worst (max) ratio (s_i + s_j) / d(c_i, c_j).
+    """
+    x = np.asarray(img, np.float64).reshape(len(img), -1)
+    label = np.asarray(label)
+    classes = np.unique(label)
+    k = len(classes)
+    if k < 2:
+        raise ValueError("DBI needs >= 2 clusters")
+    centroids = np.stack([x[label == c].mean(axis=0) for c in classes])
+    s = np.array([
+        np.mean(np.linalg.norm(x[label == c] - centroids[i], axis=1))
+        for i, c in enumerate(classes)
+    ])
+    d = np.linalg.norm(centroids[:, None, :] - centroids[None, :, :], axis=-1)
+    ratio = (s[:, None] + s[None, :]) / np.where(d == 0, np.inf, d)
+    np.fill_diagonal(ratio, -np.inf)
+    return float(np.mean(np.max(ratio, axis=1)))
+
+
+def batched_feature_probs(feature_fn, img, batch_size: int = 256):
+    """Run the injected feature model over [N,H,W,C] images in chunks.
+
+    ``feature_fn(batch) -> (features, probs)``. Images are expected in the
+    [-1, 1] training range.
+    """
+    feats, probs = [], []
+    n = len(img)
+    for i in range(0, n, batch_size):
+        f, p = feature_fn(jnp.asarray(img[i:i + batch_size]))
+        feats.append(np.asarray(f))
+        probs.append(np.asarray(p))
+    return np.concatenate(feats), np.concatenate(probs)
+
+
+class Metric:
+    """Metric registry (reference metrics.py:178-196).
+
+    ``evaluate(names, input, output)`` computes each named metric from the
+    step input/output dicts. IS/FID need a feature model: pass ``feature_fn``
+    (see ``evals.features.make_feature_fn``) and, for FID, ``real_features``
+    (precomputed on the train split — the reference re-extracts them every
+    call at metrics.py:86-135; precomputing preserves the value while making
+    per-epoch eval cheap).
+    """
+
+    def __init__(self, cfg: dict | None = None, feature_fn=None,
+                 real_features: np.ndarray | None = None,
+                 is_splits: int = 1):
+        self.cfg = cfg or {}
+        self.feature_fn = feature_fn
+        self.real_features = real_features
+        self.is_splits = is_splits
+
+    def _feats_probs(self, img):
+        if self.feature_fn is None:
+            raise ValueError("IS/FID require a feature_fn")
+        return batched_feature_probs(self.feature_fn, np.asarray(img))
+
+    def evaluate(self, names, input: dict, output: dict) -> dict:
+        out = {}
+        cached = {}
+
+        def feats_probs():
+            if "fp" not in cached:
+                cached["fp"] = self._feats_probs(output["img"])
+            return cached["fp"]
+
+        for name in names:
+            if name in ("Loss", "Loss_G", "Loss_D"):
+                key = {"Loss": "loss", "Loss_G": "loss_G", "Loss_D": "loss_D"}[name]
+                out[name] = float(output[key])
+            elif name == "InceptionScore":
+                _, probs = feats_probs()
+                out[name] = inception_score(probs, self.is_splits)
+            elif name == "FID":
+                feats, _ = feats_probs()
+                if self.real_features is None:
+                    raise ValueError("FID requires real_features")
+                out[name] = fid_from_features(self.real_features, feats)
+            elif name == "DBI":
+                out[name] = dbi(np.asarray(output["img"]), np.asarray(output["label"]))
+            elif name == "Accuracy":
+                out[name] = accuracy(output["label"], input["label"])
+            elif name == "MSE":
+                out[name] = mse(output["img"], input["img"])
+            elif name == "BCE":
+                out[name] = bce(output["img"], input["img"])
+            elif name == "NLL":
+                out[name] = nll(output["logits"], input["img"])
+            elif name == "PSNR":
+                out[name] = psnr(output["img"], input["img"])
+            else:
+                raise ValueError(f"Not valid metric name: {name}")
+        return out

@@ -1,0 +1,56 @@
+"""Checkpoint / resume.
+
+Same artifact semantics as the reference (reference src/train_vae.py:83-92,
+src/utils.py:237-256): a ``{tag}_checkpoint`` written every epoch plus a
+``{tag}_best`` copy on pivot improvement; payload carries cfg, next epoch,
+model/optimizer/scheduler state and the logger history for full provenance.
+Resume modes: 0 fresh / 1 full resume / 2 warm-start weights only.
+
+Tensors are stored as numpy inside a single pickle — a deliberate,
+dependency-light format (the arrays here are tens of MB; orbax sharded
+checkpointing is unnecessary at this scale and this format is
+inspectable/portable).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import jax
+import numpy as np
+
+from ..utils import ckpt_path, load, makedir_exist_ok, save, to_numpy_tree
+
+
+def save_checkpoint(cfg: dict, tag: str, payload: dict, kind: str = "checkpoint"):
+    path = ckpt_path(cfg, tag, kind)
+    save(to_numpy_tree(payload), path)
+    return path
+
+
+def copy_best(cfg: dict, tag: str):
+    """Copy checkpoint → best (reference shutil.copy at train_vae.py:89-92)."""
+    src = ckpt_path(cfg, tag, "checkpoint")
+    dst = ckpt_path(cfg, tag, "best")
+    makedir_exist_ok(os.path.dirname(dst))
+    shutil.copy(src, dst)
+
+
+def load_checkpoint(cfg: dict, tag: str, kind: str = "checkpoint") -> dict | None:
+    path = ckpt_path(cfg, tag, kind)
+    if not os.path.exists(path):
+        return None
+    return load(path)
+
+
+def resume(cfg: dict, tag: str, kind: str = "checkpoint", verbose: bool = True):
+    """Return checkpoint payload or None (reference utils.py:237-256)."""
+    ckpt = load_checkpoint(cfg, tag, kind)
+    if ckpt is None:
+        if verbose:
+            print(f"Not exists model tag: {tag}, start from scratch")
+        return None
+    if verbose:
+        print(f"Resume from {ckpt['epoch']}")
+    return ckpt

@@ -1,0 +1,458 @@
+"""Multi-scale Glow: CGlow (class-embedding prior) and MCGlow (MC-gated
+coupling nets).
+
+Behavioral port of reference src/models/cglow.py and src/models/mcglow.py:
+
+- per-flow: data-dependent-init ActNorm, LU-parameterized invertible 1x1 conv
+  (fixed P / sign(s); learned L, U, log|s|), affine coupling with
+  ``s = sigmoid(log_s + 2)``;
+- per-block: space-to-depth squeeze, K flows, split prior (ZeroConv producing
+  mean/log_sd) except the last block, whose prior is conditioned — MCGlow via
+  MC inside every coupling net, CGlow via a zero-init 1x1 conv on the one-hot
+  indicator added to the final prior only (reference cglow.py:214, 233-234);
+- loss: bits/dim with uniform dequantization noise ``x*0.5 + U/256`` and NaN
+  masking (zeroed in training, dropped in eval — reference mcglow.py:283-293);
+- ``reverse``/``generate``: per-level z cascade, output clamped to
+  [-0.5, 0.5] * 2.
+
+TPU-first notes: channels-last layout; the 1x1 invconv is a pure channel
+matmul (one MXU op per flow); logdet terms are computed in float32 (the
+reference's float64 slogdet path exists only for the non-LU variant, which is
+off by default — conv_lu=True).
+
+ActNorm data-dependent init is an explicit ``ddi=True`` forward pass with
+``mutable=['params']`` over the first batches (the analog of reference
+train_glow.py:60-67), instead of hidden in-place buffer flips.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.controller import MultimodalController, one_hot
+from ..ops.layers import Conv
+
+
+def gaussian_log_p(x, mean, log_sd):
+    return -0.5 * math.log(2 * math.pi) - log_sd - 0.5 * (x - mean) ** 2 / jnp.exp(2 * log_sd)
+
+
+def gaussian_sample(eps, mean, log_sd):
+    return mean + jnp.exp(log_sd) * eps
+
+
+class ActNorm(nn.Module):
+    """Per-channel affine with data-dependent init (reference mcglow.py:24-55)."""
+
+    features: int
+    logdet: bool = True
+
+    @nn.compact
+    def __call__(self, x, ddi: bool = False, reverse: bool = False):
+        loc = self.param("loc", nn.initializers.zeros, (self.features,))
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        if ddi and not self.is_initializing():
+            mean = jnp.mean(x, axis=tuple(range(x.ndim - 1)))
+            std = jnp.std(x, axis=tuple(range(x.ndim - 1)), ddof=1)
+            loc = -mean
+            scale = 1.0 / (std + 1e-6)
+            self.put_variable("params", "loc", loc)
+            self.put_variable("params", "scale", scale)
+        if reverse:
+            return x / scale - loc
+        out = scale * (x + loc)
+        if self.logdet:
+            h, w = x.shape[1], x.shape[2]
+            det = h * w * jnp.sum(jnp.log(jnp.abs(scale)))
+            return out, det
+        return out
+
+
+class InvConv2dLU(nn.Module):
+    """LU-parameterized invertible 1x1 conv (reference mcglow.py:76-116).
+
+    Fixed permutation P and sign(s) from a QR+LU decomposition of a random
+    matrix; trainable L (unit lower-tri), U (strict upper-tri), log|s|.
+    Forward is one channels-last matmul; logdet = H*W*sum(log|s|).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, reverse: bool = False):
+        C = self.features
+        # One QR+LU decomposition of a random matrix seeds every piece. It runs
+        # inside the 'glow_const' variable init (jax-native, so it also traces
+        # cleanly); the trainable params read their initial values from the
+        # holder. The zeros fallback only feeds flax's shape-validation
+        # eval_shape pass during apply — it is never materialized as a value.
+        holder: dict = {}
+
+        def const_init():
+            key = self.make_rng("params")
+            w = jax.random.normal(key, (C, C), jnp.float32)
+            q, _ = jnp.linalg.qr(w)
+            p, l, u = jax.scipy.linalg.lu(q)
+            s = jnp.diagonal(u)
+            holder["w_l"] = l
+            holder["w_s"] = jnp.log(jnp.abs(s))
+            holder["w_u"] = jnp.triu(u, 1)
+            return {"w_p": p, "s_sign": jnp.sign(s)}
+
+        const = self.variable("glow_const", "const", const_init)
+
+        def param_init(name, shape):
+            return lambda _rng: holder.get(name, jnp.zeros(shape, jnp.float32))
+
+        w_l = self.param("w_l", param_init("w_l", (C, C)))
+        w_s = self.param("w_s", param_init("w_s", (C,)))
+        w_u = self.param("w_u", param_init("w_u", (C, C)))
+        l_mask = jnp.tril(jnp.ones((C, C)), -1)
+        u_mask = l_mask.T
+        eye = jnp.eye(C)
+        weight = (
+            const.value["w_p"]
+            @ (w_l * l_mask + eye)
+            @ (w_u * u_mask + jnp.diag(const.value["s_sign"] * jnp.exp(w_s)))
+        )
+        if reverse:
+            return x @ jnp.linalg.inv(weight).T
+        out = x @ weight.T  # y_o = sum_i W[o,i] x_i, matching torch 1x1 conv
+        h, w_dim = x.shape[1], x.shape[2]
+        logdet = h * w_dim * jnp.sum(w_s)
+        return out, logdet
+
+
+class InvConv2d(nn.Module):
+    """Plain invertible 1x1 conv (reference mcglow.py:58-73); f32 slogdet."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, reverse: bool = False):
+        def init(rng):
+            w = jax.random.normal(rng, (self.features, self.features))
+            q, _ = jnp.linalg.qr(w)
+            return q
+
+        weight = self.param("weight", init)
+        if reverse:
+            return x @ jnp.linalg.inv(weight).T
+        out = x @ weight.T
+        h, w_dim = x.shape[1], x.shape[2]
+        logdet = h * w_dim * jnp.linalg.slogdet(weight)[1]
+        return out, logdet
+
+
+class ZeroConv2d(nn.Module):
+    """Zero-init conv with learned output scale exp(3*s) (reference mcglow.py:119-130)."""
+
+    features: int
+    kernel_size: int = 3
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        out = Conv(self.features, self.kernel_size, 1, self.padding,
+                   kernel_init=nn.initializers.zeros,
+                   bias_init=nn.initializers.zeros,
+                   name="conv")(x)
+        scale = self.param("scale", nn.initializers.zeros, (self.features,))
+        return out * jnp.exp(scale * 3.0)
+
+
+class _CouplingNet(nn.Module):
+    """conv3-ActNorm-ReLU-[MC]-conv1-ActNorm-ReLU-[MC]-ZeroConv
+    (reference mcglow.py:133-151)."""
+
+    out_size: int
+    hidden_size: int
+    num_mode: int | None
+    controller_rate: float | None
+
+    @nn.compact
+    def __call__(self, x, indicator, ddi: bool = False):
+        normal05 = nn.initializers.normal(stddev=0.05)
+        zeros = nn.initializers.zeros
+        x = Conv(self.hidden_size, 3, 1, 1, kernel_init=normal05, bias_init=zeros)(x)
+        x = ActNorm(self.hidden_size, logdet=False)(x, ddi=ddi)
+        x = nn.relu(x)
+        if self.num_mode is not None:
+            x = MultimodalController(self.hidden_size, self.num_mode,
+                                     self.controller_rate)(x, indicator)
+        x = Conv(self.hidden_size, 1, 1, 0, kernel_init=normal05, bias_init=zeros)(x)
+        x = ActNorm(self.hidden_size, logdet=False)(x, ddi=ddi)
+        x = nn.relu(x)
+        if self.num_mode is not None:
+            x = MultimodalController(self.hidden_size, self.num_mode,
+                                     self.controller_rate)(x, indicator)
+        return ZeroConv2d(self.out_size)(x)
+
+
+class AffineCoupling(nn.Module):
+    input_size: int
+    hidden_size: int = 512
+    affine: bool = True
+    num_mode: int | None = None
+    controller_rate: float | None = None
+
+    def setup(self):
+        out = self.input_size if self.affine else self.input_size // 2
+        self.net = _CouplingNet(out, self.hidden_size, self.num_mode, self.controller_rate)
+
+    def __call__(self, x, indicator, ddi: bool = False):
+        in_a, in_b = jnp.split(x, 2, axis=-1)
+        if self.affine:
+            log_s, t = jnp.split(self.net(in_a, indicator, ddi), 2, axis=-1)
+            s = nn.sigmoid(log_s + 2.0)
+            out_b = (in_b + t) * s
+            logdet = jnp.sum(jnp.log(s).reshape(x.shape[0], -1), axis=1)
+        else:
+            out_b = in_b + self.net(in_a, indicator, ddi)
+            logdet = None
+        return jnp.concatenate([in_a, out_b], axis=-1), logdet
+
+    def reverse(self, y, indicator):
+        out_a, out_b = jnp.split(y, 2, axis=-1)
+        if self.affine:
+            log_s, t = jnp.split(self.net(out_a, indicator), 2, axis=-1)
+            s = nn.sigmoid(log_s + 2.0)
+            in_b = out_b / s - t
+        else:
+            in_b = out_b - self.net(out_a, indicator)
+        return jnp.concatenate([out_a, in_b], axis=-1)
+
+
+class Flow(nn.Module):
+    input_size: int
+    hidden_size: int
+    affine: bool = True
+    conv_lu: bool = True
+    num_mode: int | None = None
+    controller_rate: float | None = None
+
+    def setup(self):
+        self.actnorm = ActNorm(self.input_size)
+        self.invconv = (InvConv2dLU if self.conv_lu else InvConv2d)(self.input_size)
+        self.coupling = AffineCoupling(
+            self.input_size, self.hidden_size, self.affine,
+            self.num_mode, self.controller_rate,
+        )
+
+    def __call__(self, x, indicator, ddi: bool = False):
+        out, logdet = self.actnorm(x, ddi=ddi)
+        out, det1 = self.invconv(out)
+        out, det2 = self.coupling(out, indicator, ddi=ddi)
+        logdet = logdet + det1
+        if det2 is not None:
+            logdet = logdet + det2
+        return out, logdet
+
+    def reverse(self, y, indicator):
+        x = self.coupling.reverse(y, indicator)
+        x = self.invconv(x, reverse=True)
+        x = self.actnorm(x, reverse=True)
+        return x
+
+
+def squeeze2(x):
+    """Space-to-depth by 2 (NHWC analog of reference mcglow.py:219-222)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def unsqueeze2(x):
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class Block(nn.Module):
+    """Squeeze + K flows + split prior (reference mcglow.py:204-265)."""
+
+    input_size: int  # channels before squeeze
+    hidden_size: int
+    K: int
+    split: bool = True
+    affine: bool = True
+    conv_lu: bool = True
+    num_mode: int | None = None
+    controller_rate: float | None = None
+    cond_prior: bool = False  # CGlow: one-hot embedding added to final prior
+
+    def setup(self):
+        sq = self.input_size * 4
+        self.flows = [
+            Flow(sq, self.hidden_size, self.affine, self.conv_lu,
+                 self.num_mode, self.controller_rate, name=f"flow_{i}")
+            for i in range(self.K)
+        ]
+        if self.split:
+            self.prior = ZeroConv2d(self.input_size * 4)
+        else:
+            self.prior = ZeroConv2d(self.input_size * 8)
+        if self.cond_prior:
+            self.embedding = ZeroConv2d(self.input_size * 8, kernel_size=1, padding=0)
+
+    def _prior_h(self, out_like, indicator):
+        zero = jnp.zeros_like(out_like)
+        h = self.prior(zero)
+        if self.cond_prior:
+            h = h + self.embedding(indicator[:, None, None, :])
+        return h
+
+    def __call__(self, x, indicator, ddi: bool = False):
+        b = x.shape[0]
+        out = squeeze2(x)
+        logdet = jnp.zeros((), jnp.float32)
+        for flow in self.flows:
+            out, det = flow(out, indicator, ddi=ddi)
+            logdet = logdet + det
+        if self.split:
+            out, z_new = jnp.split(out, 2, axis=-1)
+            mean, log_sd = jnp.split(self.prior(out), 2, axis=-1)
+            log_p = gaussian_log_p(z_new, mean, log_sd)
+            log_p = jnp.sum(log_p.reshape(b, -1), axis=1)
+        else:
+            h = self._prior_h(out, indicator)
+            mean, log_sd = jnp.split(h, 2, axis=-1)
+            log_p = gaussian_log_p(out, mean, log_sd)
+            log_p = jnp.sum(log_p.reshape(b, -1), axis=1)
+            z_new = out
+        return out, logdet, log_p, z_new
+
+    def reverse(self, y, indicator, eps=None, reconstruct: bool = False):
+        if reconstruct:
+            x = jnp.concatenate([y, eps], axis=-1) if self.split else eps
+        else:
+            if self.split:
+                mean, log_sd = jnp.split(self.prior(y), 2, axis=-1)
+                z = gaussian_sample(eps, mean, log_sd)
+                x = jnp.concatenate([y, z], axis=-1)
+            else:
+                h = self._prior_h(y, indicator)
+                mean, log_sd = jnp.split(h, 2, axis=-1)
+                x = gaussian_sample(eps, mean, log_sd)
+        for flow in self.flows[::-1]:
+            x = flow.reverse(x, indicator)
+        return unsqueeze2(x)
+
+
+class _GlowBase(nn.Module):
+    def loss_fn(self, log_p, logdet, train: bool):
+        """bits/dim with NaN masking (reference mcglow.py:283-293)."""
+        n_pixel = float(np.prod(self.data_shape))
+        loss = -math.log(256.0) * n_pixel + logdet + log_p
+        loss = -loss / (math.log(2.0) * n_pixel)
+        nan = jnp.isnan(loss) | jnp.isinf(loss)
+        if train:
+            return jnp.mean(jnp.where(nan, 0.0, loss))
+        ok = jnp.sum(~nan)
+        return jnp.sum(jnp.where(nan, 0.0, loss)) / jnp.maximum(ok, 1)
+
+    def __call__(self, batch, train: bool = False, ddi: bool = False):
+        indicator = one_hot(batch["label"], self.num_mode)
+        x = batch["img"] * 0.5
+        noise = jax.random.uniform(self.make_rng("noise"), x.shape, x.dtype)
+        x = x + noise / 256.0
+        z_list = []
+        log_p_sum = jnp.zeros((x.shape[0],), jnp.float32)
+        logdet = jnp.zeros((), jnp.float32)
+        for block in self.blocks:
+            x, det, log_p, z_new = block(x, indicator, ddi=ddi)
+            z_list.append(z_new)
+            logdet = logdet + det
+            log_p_sum = log_p_sum + log_p
+        loss = self.loss_fn(log_p_sum, logdet, train)
+        return {"loss": loss, "z": z_list}
+
+    def reverse(self, z_list, C, reconstruct: bool = False):
+        indicator = one_hot(C, self.num_mode)
+        x = None
+        n = len(self.blocks)
+        for i, block in enumerate(self.blocks[::-1]):
+            if i == 0:
+                x = block.reverse(z_list[-1], indicator, eps=z_list[-1],
+                                  reconstruct=reconstruct)
+            else:
+                x = block.reverse(x, indicator, eps=z_list[n - 1 - i],
+                                  reconstruct=reconstruct)
+        return jnp.clip(x, -0.5, 0.5) * 2.0
+
+    def make_z_shapes(self):
+        """Per-level latent shapes, HWC (reference mcglow.py:338-350)."""
+        h, w, c = self.data_shape
+        shapes = []
+        for _ in range(self.L - 1):
+            h, w, c = h // 2, w // 2, c * 2
+            shapes.append((h, w, c))
+        shapes.append((h // 2, w // 2, c * 4))
+        return shapes
+
+    def generate(self, C, z=None, temperature: float = 1.0):
+        if z is None:
+            shapes = self.make_z_shapes()
+            z = []
+            for i, s in enumerate(shapes):
+                key = self.make_rng("z")
+                z.append(jax.random.normal(key, (C.shape[0], *s)) * temperature)
+        return self.reverse(z, C, reconstruct=False)
+
+
+class MCGlow(_GlowBase):
+    data_shape: tuple = (32, 32, 3)
+    hidden_size: int = 512
+    K: int = 16
+    L: int = 3
+    affine: bool = True
+    conv_lu: bool = True
+    num_mode: int = 10
+    controller_rate: float = 0.5
+
+    def setup(self):
+        blocks = []
+        c = self.data_shape[-1]
+        for i in range(self.L - 1):
+            blocks.append(Block(c, self.hidden_size, self.K, True, self.affine,
+                                self.conv_lu, self.num_mode, self.controller_rate,
+                                name=f"block_{i}"))
+            c *= 2
+        blocks.append(Block(c, self.hidden_size, self.K, False, self.affine,
+                            self.conv_lu, self.num_mode, self.controller_rate,
+                            name=f"block_{self.L - 1}"))
+        self.blocks = blocks
+
+
+class CGlow(_GlowBase):
+    """Embedding-conditioned Glow: unconditional flows; the one-hot enters only
+    through a zero-init 1x1 conv added to the final (no-split) prior
+    (reference cglow.py:214, 233-234)."""
+
+    data_shape: tuple = (32, 32, 3)
+    hidden_size: int = 512
+    K: int = 16
+    L: int = 3
+    affine: bool = True
+    conv_lu: bool = True
+    num_mode: int = 10
+
+    def setup(self):
+        blocks = []
+        c = self.data_shape[-1]
+        for i in range(self.L - 1):
+            blocks.append(Block(c, self.hidden_size, self.K, True, self.affine,
+                                self.conv_lu, None, None, name=f"block_{i}"))
+            c *= 2
+        blocks.append(Block(c, self.hidden_size, self.K, False, self.affine,
+                            self.conv_lu, None, None, cond_prior=True,
+                            name=f"block_{self.L - 1}"))
+        self.blocks = blocks

@@ -1,0 +1,239 @@
+"""Shared NN building blocks with reference-matching conventions.
+
+Channels-last (NHWC) everywhere — the TPU-native layout. Initializers follow
+the reference's torch conventions (reference src/models/utils.py:7-14):
+
+- conv / dense kernels: torch ``kaiming_uniform(a=sqrt(5))`` default, i.e.
+  ``U(-1/sqrt(fan_in), 1/sqrt(fan_in))``; GAN models switch kernels to
+  xavier-uniform;
+- biases: torch default ``U(-1/sqrt(fan_in), 1/sqrt(fan_in))``;
+- BatchNorm: scale ~ N(1, 0.02), bias 0.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+
+Dtype = Any
+
+# torch nn.Conv2d / nn.Linear default kernel init: U(-sqrt(1/fan_in), +sqrt(1/fan_in))
+torch_kernel_init = jax.nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+xavier_uniform = jax.nn.initializers.xavier_uniform()
+
+
+def torch_bias_init(fan_in: int) -> Callable:
+    bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def bn_scale_init(key, shape, dtype=jnp.float32):
+    """BatchNorm weight ~ N(1.0, 0.02) (reference src/models/utils.py:8-9)."""
+    return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm matching torch defaults (momentum 0.1, eps 1e-5) + ref init."""
+
+    use_running_average: bool | None = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None):
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        return nn.BatchNorm(
+            use_running_average=ura,
+            momentum=0.9,
+            epsilon=1e-5,
+            scale_init=bn_scale_init,
+            name="bn",
+        )(x)
+
+
+class Conv(nn.Module):
+    """2D conv with torch-style integer padding and init conventions."""
+
+    features: int
+    kernel_size: int | tuple[int, int] = 3
+    strides: int = 1
+    padding: int | str | Sequence[tuple[int, int]] = 0
+    use_bias: bool = True
+    kernel_init: Callable = torch_kernel_init
+    bias_init: Callable | None = None  # default: torch U(+-1/sqrt(fan_in))
+    kernel_mask: np.ndarray | None = None  # constant multiplicative mask (PixelCNN)
+
+    @nn.compact
+    def __call__(self, x):
+        ks = self.kernel_size
+        kh, kw = (ks, ks) if isinstance(ks, int) else ks
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, in_ch, self.features)
+        )
+        if self.kernel_mask is not None:
+            kernel = kernel * jnp.asarray(self.kernel_mask, kernel.dtype)
+        if isinstance(self.padding, int):
+            pad = [(self.padding, self.padding)] * 2
+        else:
+            pad = self.padding
+        y = jax.lax.conv_general_dilated(
+            x, kernel,
+            window_strides=(self.strides, self.strides),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            binit = self.bias_init or torch_bias_init(in_ch * kh * kw)
+            bias = self.param("bias", binit, (self.features,))
+            y = y + bias
+        return y
+
+
+class ConvTranspose(nn.Module):
+    """Transposed conv matching torch ConvTranspose2d(k=4, s=2, p=1) shapes.
+
+    torch output size: (H-1)*s - 2p + k. Implemented via
+    ``lax.conv_transpose`` with explicit padding (k - 1 - p) on each side.
+    """
+
+    features: int
+    kernel_size: int = 4
+    strides: int = 2
+    padding: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = torch_kernel_init
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = self.kernel_size, self.strides, self.padding
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (k, k, in_ch, self.features))
+        # torch ConvTranspose2d padding p == (k-1-p) input-side padding of the
+        # equivalent fractionally-strided conv.
+        y = jax.lax.conv_transpose(
+            x, kernel,
+            strides=(s, s),
+            padding=[(k - 1 - p, k - 1 - p)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        # torch out = (H-1)*s - 2p + k; crop any overshoot deterministically.
+        target = (x.shape[1] - 1) * s - 2 * p + k
+        if y.shape[1] != target:
+            y = y[:, :target, :target, :]
+        if self.use_bias:
+            # torch ConvTranspose2d fan_in = out_ch * k * k per its weight layout
+            bias = self.param("bias", torch_bias_init(in_ch * k * k), (self.features,))
+            y = y + bias
+        return y
+
+
+class Dense(nn.Module):
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = torch_kernel_init
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (in_f, self.features))
+        y = x @ kernel
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_init(in_f), (self.features,))
+            y = y + bias
+        return y
+
+
+def _l2_normalize(v, eps=1e-12):
+    return v / (jnp.linalg.norm(v) + eps)
+
+
+class SNConv(nn.Module):
+    """Spectral-normalized Conv (explicit implementation, NHWC)."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    kernel_init: Callable = xavier_uniform
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        ks = self.kernel_size
+        kh, kw = (ks, ks) if isinstance(ks, int) else ks
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (kh, kw, in_ch, self.features))
+        kernel = _spectral_normalize(self, kernel, update_stats)
+        pad = [(self.padding, self.padding)] * 2
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (self.strides, self.strides), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_init(in_ch * kh * kw), (self.features,))
+            y = y + bias
+        return y
+
+
+class SNDense(nn.Module):
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = xavier_uniform
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        in_f = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (in_f, self.features))
+        kernel = _spectral_normalize(self, kernel, update_stats)
+        y = x @ kernel
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_init(in_f), (self.features,))
+            y = y + bias
+        return y
+
+
+def _spectral_normalize(mod: nn.Module, kernel: jax.Array, update_stats: bool):
+    """One torch-style power iteration on kernel viewed as (out, fan_in)."""
+    mat = kernel.reshape(-1, kernel.shape[-1]).T
+    u_var = mod.variable(
+        "spectral", "u",
+        lambda: _l2_normalize(jax.random.normal(mod.make_rng("params"), (mat.shape[0],))),
+    )
+    u = u_var.value
+    mat_sg = jax.lax.stop_gradient(mat)
+    v = _l2_normalize(mat_sg.T @ u)
+    u_new = _l2_normalize(mat_sg @ v)
+    if update_stats and mod.is_mutable_collection("spectral"):
+        u_var.value = u_new
+    u_used, v_used = jax.lax.stop_gradient(u_new), jax.lax.stop_gradient(v)
+    sigma = jnp.einsum("i,ij,j->", u_used, mat, v_used)
+    return kernel / sigma
+
+
+def upsample_nearest(x: jax.Array, scale: int) -> jax.Array:
+    """Nearest-neighbor upsample (reference nn.Upsample mode='nearest')."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, scale, w, scale, c))
+    return x.reshape(b, h * scale, w * scale, c)
+
+
+def avg_pool(x: jax.Array, window: int = 2) -> jax.Array:
+    return nn.avg_pool(x, (window, window), strides=(window, window))
+
+
+def max_pool(x: jax.Array, window: int = 2) -> jax.Array:
+    return nn.max_pool(x, (window, window), strides=(window, window))
+
+
+def global_sum_pool(x: jax.Array) -> jax.Array:
+    """Sum over spatial dims (reference cgan.py GlobalSumPooling)."""
+    return jnp.sum(x, axis=(1, 2))

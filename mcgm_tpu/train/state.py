@@ -1,0 +1,208 @@
+"""Train state containers and jitted step factories.
+
+The reference's per-family trainer scripts share one epoch-loop template
+(reference src/train_vae.py:98-148); here the per-batch work is a single
+jit-compiled step function closed over the model, produced by
+:func:`make_train_step` / :func:`make_eval_step`. The GAN's 5:1 D/G
+alternation (reference src/train_gan.py:139-176) is fused into one jitted
+step in ``make_gan_train_step``.
+
+All functions take/return explicit pytrees — params, mutable model state
+(batch_stats / vq_stats / codebook / spectral / glow_const), optimizer state,
+and an rng key — so the same step compiles unchanged under a
+``jax.sharding.Mesh`` with sharded batches (SPMD data parallel; the analog of
+reference DataParallel at src/train_vae.py:72-73, but scaling over ICI).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+MUTABLE_STATE = ("batch_stats", "vq_stats", "spectral", "glow_const", "codebook")
+
+
+def split_variables(variables: dict) -> tuple[dict, dict]:
+    """Split a flax variables dict into (params, state)."""
+    params = variables.get("params", {})
+    state = {k: v for k, v in variables.items() if k != "params"}
+    return params, state
+
+
+def merge_variables(params: dict, state: dict) -> dict:
+    return {"params": params, **state}
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TrainState:
+    params: Any
+    state: Any  # non-param variable collections
+    opt_state: Any
+    rng: Any
+    step: Any = field(default_factory=lambda: jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model, optimizer, rng_streams: tuple[str, ...] = ()):
+    """Generic single-model train step: fwd, grad, clip (inside optimizer),
+    update, carry mutated state. Loss is ``output['loss']``."""
+
+    def step(ts: TrainState, batch: dict) -> tuple[TrainState, dict]:
+        rng, *keys = jax.random.split(ts.rng, len(rng_streams) + 1)
+        rngs = dict(zip(rng_streams, keys))
+
+        def loss_fn(params):
+            variables = merge_variables(params, ts.state)
+            out, mutated = model.apply(
+                variables, batch, train=True, rngs=rngs,
+                mutable=list(ts.state.keys()),
+            )
+            return out["loss"], (out, mutated)
+
+        (loss, (out, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(ts.params)
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        new_ts = replace(ts, params=params, state=mutated, opt_state=opt_state,
+                         rng=rng, step=ts.step + 1)
+        return new_ts, {"loss": loss, "output": out}
+
+    return step
+
+
+def make_eval_step(model, rng_streams: tuple[str, ...] = ()):
+    """Eval forward (running stats, z=mu etc.); reference ``test`` analog."""
+
+    def step(params, state, batch, rng):
+        rngs = dict(zip(rng_streams, jax.random.split(rng, max(len(rng_streams), 1))))
+        variables = merge_variables(params, state)
+        out = model.apply(variables, batch, train=False, rngs=rngs)
+        return out
+
+    return step
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class GANTrainState:
+    g_params: Any
+    d_params: Any
+    state: Any
+    g_opt_state: Any
+    d_opt_state: Any
+    rng: Any
+    step: Any = field(default_factory=lambda: jnp.zeros((), jnp.int32))
+
+
+def make_gan_train_step(model, g_opt, d_opt, d_iter: int = 5,
+                        loss_type: str = "Hinge"):
+    """Fused GAN step: ``d_iter`` D updates on the same batch (fresh z each,
+    matching reference train_gan.py:139-158) then one G update.
+
+    The discriminator loss is hinge by default:
+    ``relu(1 - D(x)) + relu(1 + D(G(z)))``; G maximizes ``D(G(z))``
+    (reference train_gan.py:153-155, 171-172). BCE variant supported
+    (train_gan.py:148-152).
+    """
+
+    def _split_params(all_params):
+        return all_params["generator"], all_params["discriminator"]
+
+    def _merge(g_params, d_params, state):
+        return {"params": {"generator": g_params, "discriminator": d_params},
+                **state}
+
+    def _d_losses(d_real, d_fake):
+        if loss_type == "Hinge":
+            return jnp.mean(jax.nn.relu(1.0 - d_real) + jax.nn.relu(1.0 + d_fake))
+        # BCE with logits
+        return jnp.mean(
+            optax.sigmoid_binary_cross_entropy(d_real, jnp.ones_like(d_real))
+            + optax.sigmoid_binary_cross_entropy(d_fake, jnp.zeros_like(d_fake))
+        )
+
+    def _g_loss(d_fake):
+        if loss_type == "Hinge":
+            return -jnp.mean(d_fake)
+        return jnp.mean(
+            optax.sigmoid_binary_cross_entropy(d_fake, jnp.ones_like(d_fake))
+        )
+
+    latent = model.latent_size
+
+    def step(ts: GANTrainState, batch: dict):
+        img, label = batch["img"], batch["label"]
+        B = img.shape[0]
+
+        def d_substep(carry, _):
+            d_params, d_opt_state, state, rng = carry
+            rng, zkey = jax.random.split(rng)
+            z = jax.random.normal(zkey, (B, latent))
+
+            def d_loss_fn(dp):
+                variables = _merge(ts.g_params, dp, state)
+                fake, mut1 = model.apply(
+                    variables, label, z, True, method="generate",
+                    mutable=list(state.keys()),
+                )
+                fake = jax.lax.stop_gradient(fake)
+                variables = _merge(ts.g_params, dp, mut1)
+                d_real, mut2 = model.apply(
+                    variables, img, label, True, method="discriminate",
+                    mutable=list(state.keys()),
+                )
+                variables = _merge(ts.g_params, dp, mut2)
+                d_fake, mut3 = model.apply(
+                    variables, fake, label, True, method="discriminate",
+                    mutable=list(state.keys()),
+                )
+                return _d_losses(d_real, d_fake), mut3
+
+            (d_loss, new_state), grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(d_params)
+            updates, d_opt_state = d_opt.update(grads, d_opt_state, d_params)
+            d_params = optax.apply_updates(d_params, updates)
+            return (d_params, d_opt_state, new_state, rng), d_loss
+
+        (d_params, d_opt_state, state, rng), d_losses = jax.lax.scan(
+            d_substep, (ts.d_params, ts.d_opt_state, ts.state, ts.rng),
+            None, length=d_iter,
+        )
+
+        rng, zkey = jax.random.split(rng)
+        z = jax.random.normal(zkey, (B, latent))
+
+        def g_loss_fn(gp):
+            variables = _merge(gp, d_params, state)
+            fake, mut1 = model.apply(
+                variables, label, z, True, method="generate",
+                mutable=list(state.keys()),
+            )
+            variables = _merge(gp, d_params, mut1)
+            d_fake, mut2 = model.apply(
+                variables, fake, label, True, method="discriminate",
+                mutable=list(state.keys()),
+            )
+            return _g_loss(d_fake), mut2
+
+        (g_loss, state), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(ts.g_params)
+        updates, g_opt_state = g_opt.update(grads, ts.g_opt_state, ts.g_params)
+        g_params = optax.apply_updates(ts.g_params, updates)
+
+        new_ts = GANTrainState(
+            g_params=g_params, d_params=d_params, state=state,
+            g_opt_state=g_opt_state, d_opt_state=d_opt_state,
+            rng=rng, step=ts.step + 1,
+        )
+        metrics = {"Loss_D": jnp.mean(d_losses), "Loss_G": g_loss,
+                   "Loss": jnp.mean(d_losses) + g_loss}
+        return new_ts, metrics
+
+    return step

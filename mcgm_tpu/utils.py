@@ -1,0 +1,60 @@
+"""Generic utilities: IO helpers and artifact paths.
+
+Replaces the torch-centric helpers of reference src/utils.py with
+numpy/pickle-based equivalents (no torch in the compute path).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+
+
+def makedir_exist_ok(path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+
+
+def save(obj, path: str, mode: str = "pickle") -> None:
+    """Persist an object (reference src/utils.py:26-36 analog)."""
+    makedir_exist_ok(os.path.dirname(path) or ".")
+    if mode == "pickle":
+        with open(path, "wb") as f:
+            pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)
+    elif mode == "numpy":
+        np.save(path, obj, allow_pickle=True)
+    else:
+        raise ValueError("Not valid save mode")
+
+
+def load(path: str, mode: str = "pickle"):
+    if mode == "pickle":
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    elif mode == "numpy":
+        return np.load(path, allow_pickle=True)
+    raise ValueError("Not valid save mode")
+
+
+def to_numpy_tree(tree):
+    """Device→host copy of an arbitrary pytree (for checkpointing/npy dumps)."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def ckpt_path(cfg: dict, tag: str, kind: str) -> str:
+    return os.path.join(cfg["output_dir"], "model", f"{tag}_{kind}.pkl")
+
+
+def npy_path(cfg: dict, name: str) -> str:
+    return os.path.join(cfg["output_dir"], "npy", f"{name}.npy")
+
+
+def result_path(cfg: dict, name: str, ext: str = "npy") -> str:
+    return os.path.join(cfg["output_dir"], "result", f"{name}.{ext}")
+
+
+def vis_path(cfg: dict, *parts: str) -> str:
+    return os.path.join(cfg["output_dir"], "vis", *parts)
