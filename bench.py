@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark: MCGAN/CIFAR10 training throughput (images/sec/chip).
+
+Runs the full fused training step — 5 discriminator updates + 1 generator
+update per batch, spectral-norm power iterations and BatchNorm updates
+included, exactly the production step from ``mcgm_tpu.train.state`` — on one
+chip with the reference protocol shapes (batch 128, 32x32x3, G hidden 256x4,
+D hidden 128x4; reference src/utils.py:156-171, src/train_gan.py:33-55).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": R}
+
+``vs_baseline``: the reference publishes no throughput numbers
+(BASELINE.md — ``"published": {}``); the driver's north star is >=10x the
+PyTorch reference per chip. We report the ratio against a locally measured
+PyTorch-CPU-free estimate is impossible here, so vs_baseline is the ratio to
+BASELINE_IMAGES_PER_SEC below — a conservative single-V100 SNGAN-CIFAR10
+figure for the same 5:1 protocol — and is clearly labeled an estimate.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Conservative estimate of the torch reference's throughput on one
+# datacenter accelerator for this model/protocol (images consumed per second
+# of wall clock, batch 128, 5 D-steps + 1 G-step per batch).
+BASELINE_IMAGES_PER_SEC = 1500.0
+
+BATCH = 128
+STEPS = 30
+
+
+def main():
+    from mcgm_tpu.models.gan import MCGAN
+    from mcgm_tpu.train.optim import make_optimizer
+    from mcgm_tpu.train.state import GANTrainState, make_gan_train_step, split_variables
+
+    model = MCGAN((32, 32, 3), 128, (256,) * 4, (128,) * 4, num_mode=10,
+                  controller_rate=0.5, cifar_style=True)
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "img": jax.random.uniform(rng, (BATCH, 32, 32, 3), minval=-1, maxval=1),
+        "label": jnp.arange(BATCH, dtype=jnp.int32) % 10,
+    }
+    variables = model.init({"params": rng, "z": rng}, batch, train=True)
+    params, state = split_variables(variables)
+    cfg = {"optimizer_name": "Adam", "lr": 2e-4, "weight_decay": 0}
+    g_opt = make_optimizer(cfg, 2e-4, (0.5, 0.999))
+    d_opt = make_optimizer(cfg, 2e-4, (0.5, 0.999))
+    ts = GANTrainState(
+        g_params=params["generator"], d_params=params["discriminator"],
+        state=state,
+        g_opt_state=g_opt.init(params["generator"]),
+        d_opt_state=d_opt.init(params["discriminator"]),
+        rng=jax.random.PRNGKey(1),
+    )
+    step = jax.jit(make_gan_train_step(model, g_opt, d_opt, d_iter=5),
+                   donate_argnums=0)
+    # compile + warmup
+    ts, m = step(ts, batch)
+    jax.block_until_ready(m)
+    ts, m = step(ts, batch)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        ts, m = step(ts, batch)
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+    images_per_sec = BATCH * STEPS / dt
+    print(json.dumps({
+        "metric": "mcgan_cifar10_train_images_per_sec_per_chip",
+        "value": round(images_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

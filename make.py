@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Launch-script generator (reference src/make.py): emits
+``train_{model}.sh`` / ``test_{model}.sh`` with the cartesian product of
+datasets x {c,mc} variants x seeds. On TPU there is no CUDA_VISIBLE_DEVICES
+round-robin — each job owns the chip (or a mesh slice via ``world_size``);
+jobs are grouped with ``wait`` every ``--round`` entries like the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+
+
+def make_commands(run: str, model: str, data_names, init_seeds, num_experiments,
+                  world_size: int = 1):
+    script = {"train": f"train_{model}.py", "test": f"mcgm_tpu.cli.test_model"}
+    variants = {
+        "vae": ["cvae", "mcvae"], "gan": ["cgan", "mcgan"],
+        "glow": ["cglow", "mcglow"], "pixelcnn": ["cpixelcnn", "mcpixelcnn"],
+        "vqvae": ["vqvae"], "classifier": ["classifier"],
+    }[model]
+    cmds = []
+    for data, variant, seed in itertools.product(data_names, variants, init_seeds):
+        control = "0.5" if variant.startswith("mc") else "None"
+        entry = (f"python train_{model}.py" if run == "train"
+                 else "python -m mcgm_tpu.cli.test_model")
+        cmds.append(
+            f"{entry} --data_name {data} --model_name {variant} "
+            f"--control_name {control} --init_seed {seed} "
+            f"--num_experiments {num_experiments} --world_size {world_size}"
+        )
+    return cmds
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--run", default="train", choices=["train", "test"])
+    p.add_argument("--model", required=True)
+    p.add_argument("--data", nargs="+", default=["CIFAR10", "COIL100", "Omniglot"])
+    p.add_argument("--init_seeds", nargs="+", type=int, default=[0])
+    p.add_argument("--num_experiments", type=int, default=1)
+    p.add_argument("--world_size", type=int, default=1)
+    p.add_argument("--round", type=int, default=1)
+    args = p.parse_args()
+    cmds = make_commands(args.run, args.model, args.data, args.init_seeds,
+                         args.num_experiments, args.world_size)
+    out = f"{args.run}_{args.model}.sh"
+    with open(out, "w") as f:
+        f.write("#!/bin/bash\n")
+        for i, c in enumerate(cmds):
+            f.write(c + " &\n")
+            if (i + 1) % args.round == 0:
+                f.write("wait\n")
+        f.write("wait\n")
+    print(f"wrote {out} ({len(cmds)} jobs)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""Scoring-pipeline script generator (reference src/make_test.py): emits shell
+scripts that run the IS/FID scoring of generated dumps and the DBI scoring of
+created dumps for the cartesian product of datasets x variants x seeds."""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True)
+    p.add_argument("--data", nargs="+", default=["CIFAR10", "COIL100", "Omniglot"])
+    p.add_argument("--init_seeds", nargs="+", type=int, default=[0])
+    p.add_argument("--round", type=int, default=1)
+    args = p.parse_args()
+    variants = {
+        "vae": ["cvae", "mcvae"], "gan": ["cgan", "mcgan"],
+        "glow": ["cglow", "mcglow"], "pixelcnn": ["cpixelcnn", "mcpixelcnn"],
+    }[args.model]
+    cmds = []
+    for data, variant, seed in itertools.product(args.data, variants, args.init_seeds):
+        control = "0.5" if variant.startswith("mc") else "None"
+        base = (f"--data_name {data} --model_name {variant} "
+                f"--control_name {control} --init_seed {seed}")
+        cmds.append(f"python -m mcgm_tpu.cli.test_generated generated {base}")
+        cmds.append(f"python -m mcgm_tpu.cli.test_generated created {base}")
+    out = f"test_generated_{args.model}.sh"
+    with open(out, "w") as f:
+        f.write("#!/bin/bash\n")
+        for i, c in enumerate(cmds):
+            f.write(c + " &\n")
+            if (i + 1) % args.round == 0:
+                f.write("wait\n")
+        f.write("wait\n")
+    print(f"wrote {out} ({len(cmds)} jobs)")
+
+
+if __name__ == "__main__":
+    main()

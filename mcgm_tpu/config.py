@@ -70,8 +70,8 @@ _DATA_SHAPES = {
     "CIFAR100": ((32, 32, 3), 1000),
     "COIL100": ((32, 32, 3), 100),
     "ImageNet32": ((32, 32, 3), 20),
-    "Synthetic": ((32, 32, 3), 100),
-    "SyntheticGray": ((32, 32, 1), 100),
+    "Synthetic": ((32, 32, 3), 8),
+    "SyntheticGray": ((32, 32, 1), 8),
     "CelebA-HQ": ((128, 128, 3), 20),
     "ImageNet": ((128, 128, 3), 20),
 }

@@ -141,6 +141,48 @@ def batched_feature_probs(feature_fn, img, batch_size: int = 256):
     return np.concatenate(feats), np.concatenate(probs)
 
 
+def make_device_metrics(names):
+    """Device-side metric closure for use INSIDE jitted train/eval steps.
+
+    Returns ``fn(batch, output) -> {name: scalar}`` using only jnp ops, so the
+    per-batch metric evaluation the reference does on host
+    (train_vae.py:112-113) fuses into the step and costs no extra transfers.
+    Only metrics computable from one batch are supported here; IS/FID/DBI are
+    corpus-level and stay in :class:`Metric`.
+    """
+    from ..models.vae import binary_cross_entropy
+
+    def fn(batch, output):
+        out = {}
+        for name in names:
+            if name in ("Loss", "Loss_G", "Loss_D"):
+                key = {"Loss": "loss", "Loss_G": "loss_G", "Loss_D": "loss_D"}[name]
+                out[name] = output[key]
+            elif name == "MSE":
+                out[name] = jnp.mean((output["img"] - batch["img"]) ** 2)
+            elif name == "BCE":
+                p = (output["img"].astype(jnp.float32) + 1) / 2
+                t = (batch["img"].astype(jnp.float32) + 1) / 2
+                out[name] = jnp.mean(binary_cross_entropy(p, t))
+            elif name == "NLL":
+                logp = jax.nn.log_softmax(output["logits"].astype(jnp.float32), axis=-1)
+                out[name] = -jnp.mean(
+                    jnp.take_along_axis(logp, batch["img"][..., None], axis=-1)
+                )
+            elif name == "PSNR":
+                m = jnp.mean((output["img"].astype(jnp.float32)
+                              - batch["img"].astype(jnp.float32)) ** 2)
+                out[name] = -10.0 * jnp.log10(m)
+            elif name == "Accuracy":
+                pred = jnp.argmax(output["label"], axis=-1)
+                out[name] = jnp.mean((pred == batch["label"]).astype(jnp.float32)) * 100
+            else:
+                raise ValueError(f"metric {name} is not a per-batch device metric")
+        return out
+
+    return fn
+
+
 class Metric:
     """Metric registry (reference metrics.py:178-196).
 

@@ -118,9 +118,10 @@ class ConvTranspose(nn.Module):
         in_ch = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init, (k, k, in_ch, self.features))
         # torch ConvTranspose2d padding p == (k-1-p) input-side padding of the
-        # equivalent fractionally-strided conv.
+        # equivalent fractionally-strided conv; torch scatters the kernel
+        # unflipped, which corresponds to flipping it for conv_transpose.
         y = jax.lax.conv_transpose(
-            x, kernel,
+            x, kernel[::-1, ::-1],
             strides=(s, s),
             padding=[(k - 1 - p, k - 1 - p)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -1,0 +1,86 @@
+"""Result aggregation (reference src/process.py).
+
+Walks ``output/result`` for per-seed artifacts — ``{tag}.pkl`` logger dumps
+and ``is_/fid_/dbi_*.npy`` scalars — and aggregates each
+(data, model, control) cell over seeds into mean/std/max/min (+ argmax/argmin
+seed), written to ``output/processed_result.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from collections import defaultdict
+
+import numpy as np
+
+from ..utils import load, makedir_exist_ok
+
+
+def _cell_of(tag: str) -> tuple[str, str]:
+    """Split '{seed}_{rest}' → (seed, cell)."""
+    seed, _, rest = tag.partition("_")
+    return seed, rest
+
+
+def collect_results(output_dir: str = "./output") -> dict:
+    """cell → metric → {seed: value}."""
+    rdir = os.path.join(output_dir, "result")
+    results: dict = defaultdict(lambda: defaultdict(dict))
+    if not os.path.isdir(rdir):
+        return results
+    for fn in sorted(os.listdir(rdir)):
+        path = os.path.join(rdir, fn)
+        if fn.endswith(".pkl"):
+            tag = fn[:-4]
+            seed, cell = _cell_of(tag)
+            payload = load(path)
+            logger = payload["logger"]
+            for name, hist in logger.history.items():
+                if name.endswith("/info") or not hist:
+                    continue
+                results[cell][name][seed] = float(hist[-1])
+        elif fn.endswith(".npy"):
+            m = re.match(r"(is|fid|dbi)_(generated|created)_(.+)\.npy$", fn)
+            if not m:
+                continue
+            metric = {"is": "InceptionScore", "fid": "FID", "dbi": "DBI"}[m.group(1)]
+            tag = m.group(3)
+            seed, cell = _cell_of(tag)
+            value = float(np.load(path, allow_pickle=True))
+            results[cell][f"{m.group(2)}/{metric}"][seed] = value
+    return results
+
+
+def summarize(results: dict) -> dict:
+    out = {}
+    for cell, metrics in results.items():
+        out[cell] = {}
+        for name, per_seed in metrics.items():
+            seeds = sorted(per_seed)
+            vals = np.asarray([per_seed[s] for s in seeds])
+            out[cell][name] = {
+                "mean": float(vals.mean()),
+                "std": float(vals.std()),
+                "max": float(vals.max()),
+                "min": float(vals.min()),
+                "argmax": seeds[int(vals.argmax())],
+                "argmin": seeds[int(vals.argmin())],
+                "n_seeds": len(seeds),
+            }
+    return out
+
+
+def process(output_dir: str = "./output") -> dict:
+    summary = summarize(collect_results(output_dir))
+    makedir_exist_ok(output_dir)
+    with open(os.path.join(output_dir, "processed_result.json"), "w") as f:
+        json.dump(summary, f, indent=2, sort_keys=True)
+    return summary
+
+
+if __name__ == "__main__":
+    import sys
+
+    process(sys.argv[1] if len(sys.argv) > 1 else "./output")

@@ -1,0 +1,512 @@
+"""Experiment runner: the epoch-loop template shared by all six trainers.
+
+Behavioral port of the reference trainer scripts (train_vae/train_gan/
+train_glow/train_pixelcnn/train_vqvae/train_classifier.py), which differ only
+in per-family config overrides and three hooks:
+
+- GAN: dual optimizers, fused 5:1 D/G step, fixed-z generation eval with
+  IS/FID pivot (reference train_gan.py:139-220);
+- Glow: ActNorm data-dependent init over the first ``num_init_batches``
+  batches before training (train_glow.py:60-67);
+- PixelCNN: batches are code grids from the frozen best VQ-VAE
+  (train_pixelcnn.py:44-45, 111-113).
+
+Checkpoints every epoch + ``_best`` copy on pivot improvement, resume modes
+0/1/2, batch-size-weighted logging with ETA lines — all per the reference
+protocol. The per-batch work is one jitted step; batches stream to the device
+(or to a sharded mesh placement for data parallelism).
+"""
+
+from __future__ import annotations
+
+import datetime
+import time
+from dataclasses import replace
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import make_model_tag, process_control
+from ..data import fetch_dataset, make_data_loader, process_dataset
+from ..data.loader import normalize_images
+from ..evals.features import extract_real_features, make_feature_fn
+from ..evals.metrics import Metric, make_device_metrics
+from ..io.checkpoint import copy_best, load_checkpoint, save_checkpoint
+from ..models import build_model
+from ..report.logger import Logger
+from ..utils import to_numpy_tree
+from .optim import Scheduler, make_optimizer, set_learning_rate
+from .state import (GANTrainState, TrainState, make_eval_step,
+                    make_gan_train_step, make_train_step, merge_variables,
+                    split_variables)
+
+FAMILY = {
+    "mcvae": "vae", "cvae": "vae", "vqvae": "vqvae", "classifier": "classifier",
+    "mcgan": "gan", "cgan": "gan", "mcglow": "glow", "cglow": "glow",
+    "mcpixelcnn": "pixelcnn", "cpixelcnn": "pixelcnn",
+}
+
+RNG_STREAMS = {"vae": ("reparam",), "glow": ("noise",)}
+
+# Module-level overrides of the reference trainer scripts
+# (train_vae.py:29-36, train_glow.py:30-38, train_pixelcnn.py:29-35,
+#  train_vqvae.py:29-36, train_classifier.py:29-36, train_gan.py:29-56).
+_OVERRIDES = {
+    "vae": dict(pivot_metric="BCE", pivot_mode="min",
+                metric_name={"train": ["Loss", "BCE"], "test": ["Loss", "BCE"]},
+                optimizer_name="Adam", lr=3e-4, weight_decay=0,
+                scheduler_name="ReduceLROnPlateau", grad_clip=1.0),
+    "glow": dict(pivot_metric="Loss", pivot_mode="min",
+                 metric_name={"train": ["Loss"], "test": ["Loss"]},
+                 optimizer_name="Adam", lr=3e-4, weight_decay=0,
+                 scheduler_name="ReduceLROnPlateau", num_init_batches=8,
+                 grad_clip=1.0),
+    "pixelcnn": dict(pivot_metric="NLL", pivot_mode="min",
+                     metric_name={"train": ["Loss", "NLL"], "test": ["Loss", "NLL"]},
+                     optimizer_name="Adam", lr=3e-4, weight_decay=0,
+                     scheduler_name="ReduceLROnPlateau", grad_clip=1.0),
+    "vqvae": dict(pivot_metric="MSE", pivot_mode="min",
+                  metric_name={"train": ["Loss", "MSE"], "test": ["Loss", "MSE"]},
+                  optimizer_name="Adam", lr=3e-4, weight_decay=0,
+                  scheduler_name="ReduceLROnPlateau", grad_clip=1.0),
+    "classifier": dict(pivot_metric="Accuracy", pivot_mode="max",
+                       metric_name={"train": ["Loss", "Accuracy"],
+                                    "test": ["Loss", "Accuracy"]},
+                       optimizer_name="Adam", lr=1e-2,
+                       scheduler_name="MultiStepLR", milestones=[100], factor=0.1,
+                       grad_clip=1.0),
+    "gan": dict(pivot_metric="InceptionScore", pivot_mode="max",
+                metric_name={"train": ["Loss", "Loss_D", "Loss_G"],
+                             "test": ["InceptionScore", "FID"]},
+                optimizer_name="Adam", weight_decay=0, scheduler_name="None",
+                loss_type="Hinge", grad_clip=None),
+}
+
+
+def apply_family_overrides(cfg: dict) -> dict:
+    cfg = dict(cfg)
+    fam = FAMILY[cfg["model_name"]]
+    cfg.update(_OVERRIDES[fam])
+    cfg["family"] = fam
+    if fam == "gan":
+        # betas differ between mcgan and cgan (reference train_gan.py:33-55)
+        betas = (0.5, 0.999) if cfg["model_name"] == "mcgan" else (0.0, 0.9)
+        cfg["gan_opt"] = {"lr": {"generator": 2e-4, "discriminator": 2e-4},
+                          "iter": {"generator": 1, "discriminator": 5},
+                          "betas": {"generator": betas, "discriminator": betas}}
+    return cfg
+
+
+class Experiment:
+    """One seed of one (data, model, control) cell — reference runExperiment."""
+
+    def __init__(self, cfg: dict, seed: int | None = None, mesh=None):
+        cfg = process_control(cfg)
+        cfg = apply_family_overrides(cfg)
+        self.seed = cfg["init_seed"] if seed is None else seed
+        cfg["model_tag"] = make_model_tag(cfg, self.seed)
+        self.cfg = cfg
+        self.tag = cfg["model_tag"]
+        self.family = cfg["family"]
+        self.mesh = mesh
+        self.logger = None
+
+    # ------------------------------------------------------------- setup
+    def setup(self):
+        cfg = self.cfg
+        self.rng = jax.random.PRNGKey(self.seed)
+        dataset = fetch_dataset(cfg["data_name"], cfg["subset"],
+                                cfg.get("data_dir", "./data"))
+        self.cfg = cfg = process_dataset(dataset["train"], cfg)
+        sharding = None
+        if self.mesh is not None:
+            from ..parallel import data_sharding
+
+            sharding = data_sharding(self.mesh)
+        self.dataset = dataset
+        self.loaders = make_data_loader(dataset, cfg, seed=self.seed,
+                                        sharding=sharding)
+        self.model = build_model(cfg)
+        self.rng, init_key = jax.random.split(self.rng)
+        self._build_family(init_key)
+        self.metric = Metric(cfg)
+        self.train_metrics = make_device_metrics(
+            [m for m in cfg["metric_name"]["train"]]
+        )
+        test_names = [m for m in cfg["metric_name"]["test"]
+                      if m not in ("InceptionScore", "FID", "DBI")]
+        self.test_metrics = make_device_metrics(test_names)
+
+    def _example_batch(self, split="train"):
+        cfg = self.cfg
+        bs = cfg["batch_size"][split]
+        if self.family == "pixelcnn":
+            grid = cfg["data_shape"][0] // 4
+            img = jnp.zeros((bs, grid, grid), jnp.int32)
+        else:
+            img = jnp.zeros((bs, *cfg["data_shape"]), jnp.float32)
+        return {"img": img, "label": jnp.zeros((bs,), jnp.int32)}
+
+    def _init_variables(self, init_key):
+        streams = RNG_STREAMS.get(self.family, ())
+        rngs = {"params": init_key, "z": init_key,
+                **{s: init_key for s in streams}}
+        return self.model.init(rngs, self._example_batch(), train=True)
+
+    def _build_family(self, init_key):
+        cfg = self.cfg
+        fam = self.family
+        streams = RNG_STREAMS.get(fam, ())
+        if fam == "gan":
+            variables = self._init_variables(init_key)
+            params, state = split_variables(variables)
+            go = cfg["gan_opt"]
+            self.g_opt = make_optimizer(cfg, go["lr"]["generator"],
+                                        go["betas"]["generator"])
+            self.d_opt = make_optimizer(cfg, go["lr"]["discriminator"],
+                                        go["betas"]["discriminator"])
+            self.rng, sk = jax.random.split(self.rng)
+            self.ts = GANTrainState(
+                g_params=params["generator"], d_params=params["discriminator"],
+                state=state,
+                g_opt_state=self.g_opt.init(params["generator"]),
+                d_opt_state=self.d_opt.init(params["discriminator"]),
+                rng=sk,
+            )
+            self.scheduler = {"generator": Scheduler(cfg, go["lr"]["generator"]),
+                              "discriminator": Scheduler(cfg, go["lr"]["discriminator"])}
+            step = make_gan_train_step(self.model, self.g_opt, self.d_opt,
+                                       d_iter=go["iter"]["discriminator"],
+                                       loss_type=cfg["loss_type"])
+            self.train_step = jax.jit(step, donate_argnums=0)
+            self.generate_fn = jax.jit(
+                lambda vars_, C, z: self.model.apply(vars_, C, z, False,
+                                                     method="generate")
+            )
+            return
+        # single-model families
+        if fam == "pixelcnn":
+            self._setup_frozen_ae()
+        variables = self._init_variables(init_key)
+        params, state = split_variables(variables)
+        self.optimizer = make_optimizer(cfg, grad_clip=cfg.get("grad_clip"))
+        self.rng, sk = jax.random.split(self.rng)
+        self.ts = TrainState(params=params, state=state,
+                             opt_state=self.optimizer.init(params), rng=sk)
+        self.scheduler = Scheduler(cfg)
+        step = make_train_step(self.model, self.optimizer,
+                               rng_streams=streams,
+                               )
+        self.train_step = jax.jit(self._wrap_metrics(step), donate_argnums=0)
+        ev = make_eval_step(self.model, rng_streams=streams)
+        self.eval_step = jax.jit(ev)
+        if fam == "glow":
+            self._ddi_pending = True
+
+    def _wrap_metrics(self, step):
+        def wrapped(ts, batch):
+            ts, aux = step(ts, batch)
+            metrics = self.train_metrics(batch, aux["output"])
+            return ts, metrics
+
+        return wrapped
+
+    # ---------------------------------------------------- pixelcnn frozen AE
+    def _setup_frozen_ae(self):
+        cfg = self.cfg
+        ae_tag_parts = [str(self.seed), cfg["data_name"], cfg["subset"], cfg["ae_name"]]
+        self.ae_tag = "_".join(p for p in ae_tag_parts if p)
+        ckpt = load_checkpoint(cfg, self.ae_tag, "best")
+        if ckpt is None:
+            raise FileNotFoundError(
+                f"pixelcnn requires the frozen AE checkpoint {self.ae_tag}_best "
+                f"(train vqvae first — reference train_pixelcnn.py:44-45)"
+            )
+        ae_cfg = process_control({**cfg, "model_name": cfg["ae_name"]})
+        ae_cfg["classes_size"] = cfg["classes_size"]
+        self.ae_model = build_model(ae_cfg, cfg["ae_name"])
+        self.ae_variables = ckpt["model_dict"]
+
+        @jax.jit
+        def encode(img):
+            _, _, code = self.ae_model.apply(self.ae_variables, img,
+                                             method="encode")
+            return code
+
+        @jax.jit
+        def decode_code(code):
+            return self.ae_model.apply(self.ae_variables, code,
+                                       method="decode_code")
+
+        self.ae_encode = encode
+        self.ae_decode_code = decode_code
+
+    def _prep_batch(self, batch):
+        batch = {k: v for k, v in batch.items() if k != "n"}
+        if self.family == "pixelcnn":
+            batch["img"] = self.ae_encode(batch["img"])
+        return batch
+
+    # ------------------------------------------------------------- glow ddi
+    def _run_ddi(self):
+        cfg = self.cfg
+        n = cfg.get("num_init_batches", 8)
+        imgs, labels = [], []
+        for i, batch in enumerate(self.loaders["train"]):
+            if i >= n:
+                break
+            imgs.append(batch["img"])
+            labels.append(batch["label"])
+        big = {"img": jnp.concatenate(imgs), "label": jnp.concatenate(labels)}
+        variables = merge_variables(self.ts.params, self.ts.state)
+        self.rng, k = jax.random.split(self.rng)
+        _, mut = self.model.apply(variables, big, train=True, ddi=True,
+                                  rngs={"noise": k}, mutable=["params"])
+        self.ts = replace(self.ts, params=mut["params"],
+                          opt_state=self.optimizer.init(mut["params"]))
+        self._ddi_pending = False
+
+    # ------------------------------------------------------------ run loop
+    def run(self, num_epochs: int | None = None):
+        cfg = self.cfg
+        self.setup()
+        num_epochs = num_epochs or cfg["num_epochs"]
+        last_epoch, pivot = self._resume()
+        if self.family == "glow" and getattr(self, "_ddi_pending", False) \
+                and last_epoch == 1:
+            self._run_ddi()
+        for epoch in range(last_epoch, num_epochs + 1):
+            self.logger.safe(True)
+            self.train_epoch(epoch)
+            self.test_epoch(epoch)
+            pivot_val = self.logger.mean.get(f"test/{cfg['pivot_metric']}")
+            self._scheduler_step(pivot_val)
+            self.logger.safe(False)
+            self._checkpoint(epoch)
+            # when the pivot metric is unavailable (e.g. no feature model for
+            # IS), every epoch counts as an improvement → best = latest
+            if pivot_val is None or self._improved(pivot_val, pivot):
+                pivot = pivot_val if pivot_val is not None else pivot
+                copy_best(cfg, self.tag)
+            self.logger.reset()
+        return self.logger
+
+    def _improved(self, value, pivot):
+        if pivot is None:
+            return True
+        if self.cfg.get("pivot_mode", "min") == "max":
+            return value > pivot
+        return value < pivot
+
+    def _scheduler_step(self, pivot_val):
+        cfg = self.cfg
+        metric = pivot_val if cfg["scheduler_name"] == "ReduceLROnPlateau" else None
+        if self.family == "gan":
+            for k in ("generator", "discriminator"):
+                lr = self.scheduler[k].step(metric)
+            self.ts = replace(
+                self.ts,
+                g_opt_state=set_learning_rate(self.ts.g_opt_state,
+                                              self.scheduler["generator"].lr),
+                d_opt_state=set_learning_rate(self.ts.d_opt_state,
+                                              self.scheduler["discriminator"].lr),
+            )
+        else:
+            lr = self.scheduler.step(metric)
+            self.ts = replace(self.ts,
+                              opt_state=set_learning_rate(self.ts.opt_state, lr))
+
+    # --------------------------------------------------------------- epochs
+    def train_epoch(self, epoch: int):
+        cfg = self.cfg
+        loader = self.loaders["train"]
+        loader.set_epoch(epoch)
+        n_batches = len(loader)
+        log_every = max(1, int(n_batches * cfg["log_interval"]))
+        t0 = time.time()
+        for i, batch in enumerate(loader):
+            n = batch["n"]
+            batch = self._prep_batch(batch)
+            self.ts, metrics = self.train_step(self.ts, batch)
+            self.logger.append(
+                {k: float(v) for k, v in metrics.items()}, "train", n
+            )
+            if i % log_every == 0:
+                bt = (time.time() - t0) / (i + 1)
+                eta = datetime.timedelta(seconds=round(bt * (n_batches - i - 1)))
+                lr = (self.scheduler["generator"].lr if self.family == "gan"
+                      else self.scheduler.lr)
+                info = {"info": [f"Model: {self.tag}",
+                                 f"Train Epoch: {epoch}({100. * i / n_batches:.0f}%)",
+                                 f"Learning rate: {lr}",
+                                 f"Epoch Finished Time: {eta}"]}
+                self.logger.append(info, "train", mean=False)
+                self.logger.write("train", cfg["metric_name"]["train"])
+
+    def test_epoch(self, epoch: int):
+        if self.family == "gan":
+            self._test_gan(epoch)
+        else:
+            self._test_eval_loader(epoch)
+
+    def _test_eval_loader(self, epoch: int):
+        """Eval on the TRAIN split (reference train_vae.py:77 et al.)."""
+        cfg = self.cfg
+        loader = self.loaders["train"]
+        for batch in loader:
+            n = batch["n"]
+            batch = self._prep_batch(batch)
+            self.rng, k = jax.random.split(self.rng)
+            out = self.eval_step(self.ts.params, self.ts.state, batch, k)
+            metrics = self.test_metrics(batch, out)
+            self.logger.append({k2: float(v) for k2, v in metrics.items()},
+                               "test", n)
+        info = {"info": [f"Model: {self.tag}", f"Test Epoch: {epoch}(100%)"]}
+        self.logger.append(info, "test", mean=False)
+        self.logger.write("test", [m for m in cfg["metric_name"]["test"]
+                                   if m not in ("InceptionScore", "FID", "DBI")])
+
+    def _test_gan(self, epoch: int):
+        """Fixed-z class-sweep generation + IS/FID (reference train_gan.py:197-220)."""
+        cfg = self.cfg
+        # torch ``Tensor.repeat`` tiles: 0..K-1, 0..K-1, ... (train_gan.py:202)
+        C = np.tile(np.arange(cfg["classes_size"]), cfg["generate_per_mode"])
+        total = len(C)
+        if "fixed_z" not in self.__dict__:
+            zkey = jax.random.PRNGKey(self.seed ^ 0x5EED)
+            self.fixed_z = jax.random.normal(
+                zkey, (total, self.model.latent_size))
+        variables = merge_variables(
+            {"generator": self.ts.g_params, "discriminator": self.ts.d_params},
+            self.ts.state)
+        chunk = cfg["batch_size"]["test"]
+        imgs = []
+        for i in range(0, total, chunk):
+            Ci = jnp.asarray(C[i:i + chunk], jnp.int32)
+            zi = self.fixed_z[i:i + chunk]
+            imgs.append(np.asarray(self.generate_fn(variables, Ci, zi)))
+        generated = np.concatenate(imgs)
+        feature_fn = getattr(self, "feature_fn", "unset")
+        if feature_fn == "unset":
+            self.feature_fn = make_feature_fn(cfg)
+            if self.feature_fn is not None:
+                self.real_features = extract_real_features(
+                    self.feature_fn, self.dataset["train"].img)
+                self.metric = Metric(cfg, self.feature_fn, self.real_features)
+            feature_fn = self.feature_fn
+        names = [m for m in cfg["metric_name"]["test"]]
+        if feature_fn is None:
+            names = [m for m in names if m not in ("InceptionScore", "FID")]
+        if names:
+            evaluation = self.metric.evaluate(names, {}, {"img": generated})
+            self.logger.append(evaluation, "test", total)
+        info = {"info": [f"Model: {self.tag}", f"Test Epoch: {epoch}(100%)"]}
+        self.logger.append(info, "test", mean=False)
+        self.logger.write("test", names)
+
+    # ----------------------------------------------------------- checkpoint
+    def _model_variables(self):
+        if self.family == "gan":
+            return merge_variables(
+                {"generator": self.ts.g_params,
+                 "discriminator": self.ts.d_params},
+                self.ts.state)
+        return merge_variables(self.ts.params, self.ts.state)
+
+    def _checkpoint(self, epoch: int):
+        cfg = self.cfg
+        if self.family == "gan":
+            opt = {"generator": self.ts.g_opt_state,
+                   "discriminator": self.ts.d_opt_state}
+            sched = {k: s.state_dict() for k, s in self.scheduler.items()}
+        else:
+            opt = self.ts.opt_state
+            sched = self.scheduler.state_dict()
+        payload = {
+            "cfg": {k: v for k, v in cfg.items() if k != "z"},
+            "epoch": epoch + 1,
+            "model_dict": self._model_variables(),
+            "optimizer_dict": opt,
+            "scheduler_dict": sched,
+            "logger": self.logger,
+            "rng": np.asarray(self.ts.rng),
+        }
+        save_checkpoint(cfg, self.tag, payload)
+
+    def _resume(self):
+        cfg = self.cfg
+        mode = cfg.get("resume_mode", 0)
+        stamp = datetime.datetime.now().strftime("%b%d_%H-%M-%S")
+        fresh_logger = Logger(f"{cfg['output_dir']}/runs/train_{self.tag}_{stamp}")
+        pivot = None
+        if mode == 0:
+            self.logger = fresh_logger
+            return 1, pivot
+        ckpt = load_checkpoint(cfg, self.tag, "checkpoint")
+        if ckpt is None:
+            print(f"Not exists model tag: {self.tag}, start from scratch")
+            self.logger = fresh_logger
+            return 1, pivot
+        self._load_model_variables(ckpt["model_dict"])
+        if mode == 1:
+            self._load_opt_sched(ckpt)
+            self.logger = ckpt["logger"]
+            key = f"test/{cfg['pivot_metric']}"
+            hist = self.logger.history.get(key, [])
+            if hist:
+                pivot = (max(hist) if cfg.get("pivot_mode") == "max" else min(hist))
+            print(f"Resume from {ckpt['epoch']}")
+            return ckpt["epoch"], pivot
+        # mode 2: warm start weights only
+        self.logger = fresh_logger
+        return 1, pivot
+
+    def _load_model_variables(self, variables):
+        params, state = split_variables(jax.tree_util.tree_map(jnp.asarray, variables))
+        if self.family == "gan":
+            self.ts = replace(self.ts, g_params=params["generator"],
+                              d_params=params["discriminator"], state=state)
+        else:
+            self.ts = replace(self.ts, params=params, state=state)
+            if self.family == "glow":
+                self._ddi_pending = False
+
+    def _load_opt_sched(self, ckpt):
+        def as_jnp(tree):
+            return jax.tree_util.tree_map(jnp.asarray, tree)
+
+        if self.family == "gan":
+            self.ts = replace(
+                self.ts,
+                g_opt_state=jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(self.ts.g_opt_state),
+                    jax.tree_util.tree_leaves(as_jnp(ckpt["optimizer_dict"]["generator"]))),
+                d_opt_state=jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(self.ts.d_opt_state),
+                    jax.tree_util.tree_leaves(as_jnp(ckpt["optimizer_dict"]["discriminator"]))),
+            )
+            for k in ("generator", "discriminator"):
+                self.scheduler[k].load_state_dict(ckpt["scheduler_dict"][k])
+        else:
+            self.ts = replace(
+                self.ts,
+                opt_state=jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(self.ts.opt_state),
+                    jax.tree_util.tree_leaves(as_jnp(ckpt["optimizer_dict"]))),
+            )
+            self.scheduler.load_state_dict(ckpt["scheduler_dict"])
+        if "rng" in ckpt:
+            rng = jnp.asarray(ckpt["rng"])
+            self.ts = replace(self.ts, rng=rng)
+
+
+def run_experiments(cfg: dict, num_epochs: int | None = None, mesh=None):
+    """reference ``main()``: loop seeds init_seed..init_seed+num_experiments."""
+    results = []
+    for i in range(cfg.get("num_experiments", 1)):
+        seed = cfg["init_seed"] + i
+        exp = Experiment(cfg, seed=seed, mesh=mesh)
+        print(f"Experiment: {exp.tag}")
+        results.append(exp.run(num_epochs))
+    return results

@@ -1,0 +1,133 @@
+"""Unified sampling backend for the generate / transit / create workflows.
+
+Wraps a trained model's variables with a jitted per-family ``sample(C, rng)``
+(and ``sample_with_z`` for fixed-noise protocols), including the PixelCNN
+code-sampling + frozen-AE decode chain (reference generate.py:44-46, 66-70)
+and Glow's per-level z cascade.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import process_control
+from ..io.checkpoint import load_checkpoint
+from ..models import build_model
+from ..models.pixelcnn import sample_codes
+from ..train.loop import FAMILY
+
+
+class Sampler:
+    def __init__(self, cfg: dict, model, variables, ae_model=None,
+                 ae_variables=None):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.family = FAMILY[cfg["model_name"]]
+        self.ae_model = ae_model
+        self.ae_variables = ae_variables
+        self._jit_cache = {}
+
+    def with_variables(self, variables) -> "Sampler":
+        s = Sampler(self.cfg, self.model, variables, self.ae_model,
+                    self.ae_variables)
+        s._jit_cache = self._jit_cache  # shapes identical; reuse compilations
+        return s
+
+    # ---------------------------------------------------------------- noise
+    def sample_z(self, n: int, rng) -> jax.Array | list:
+        """Family-appropriate latent noise (reference transit.py:61-71)."""
+        fam = self.family
+        if fam in ("vae", "gan"):
+            return jax.random.normal(rng, (n, self.model.latent_size))
+        if fam == "glow":
+            shapes = self.model.make_z_shapes()
+            keys = jax.random.split(rng, len(shapes))
+            return [jax.random.normal(k, (n, *s)) for k, s in zip(keys, shapes)]
+        if fam == "pixelcnn":
+            return None  # autoregressive; rng drawn at sample time
+        raise ValueError(f"family {fam} cannot sample")
+
+    # --------------------------------------------------------------- sample
+    def _gen_fn(self):
+        if "gen" not in self._jit_cache:
+            fam = self.family
+
+            if fam in ("vae", "gan"):
+                def fn(variables, C, z):
+                    return self.model.apply(variables, C, z, method="generate")
+            elif fam == "glow":
+                def fn(variables, C, z):
+                    return self.model.apply(variables, C, z, method="generate")
+            elif fam == "pixelcnn":
+                def fn(variables, C, rng):
+                    codes = sample_codes(
+                        partial(self.model.apply), variables, C, rng,
+                        grid_hw=(self.cfg["data_shape"][0] // 4,) * 2,
+                    )
+                    return self.ae_model.apply(self.ae_variables, codes,
+                                               method="decode_code")
+            else:
+                raise ValueError(fam)
+            self._jit_cache["gen"] = jax.jit(fn)
+        return self._jit_cache["gen"]
+
+    def sample(self, C: np.ndarray, rng) -> np.ndarray:
+        """Generate images in [-1, 1] for integer modes ``C``."""
+        C = jnp.asarray(C, jnp.int32)
+        if self.family == "pixelcnn":
+            return np.asarray(self._gen_fn()(self.variables, C, rng))
+        z = self.sample_z(C.shape[0], rng)
+        return np.asarray(self._gen_fn()(self.variables, C, z))
+
+    def sample_with_z(self, C: np.ndarray, z) -> np.ndarray:
+        if self.family == "pixelcnn":
+            raise ValueError("pixelcnn sampling is autoregressive; pass rng")
+        C = jnp.asarray(C, jnp.int32)
+        return np.asarray(self._gen_fn()(self.variables, C, z))
+
+    def sample_chunked(self, C: np.ndarray, rng, chunk: int = 1000) -> np.ndarray:
+        """Class sweep in fixed-size chunks (reference generate.py:57-71)."""
+        out = []
+        for i in range(0, len(C), chunk):
+            rng, sub = jax.random.split(rng)
+            Ci = np.asarray(C[i:i + chunk])
+            if len(Ci) < chunk:  # pad to keep one compiled shape
+                pad = chunk - len(Ci)
+                img = self.sample(np.concatenate([Ci, np.zeros(pad, Ci.dtype)]), sub)
+                out.append(img[: len(Ci)])
+            else:
+                out.append(self.sample(Ci, sub))
+        return np.concatenate(out)
+
+
+def load_sampler(cfg: dict, tag: str, classes_size: int | None = None,
+                 variables=None) -> Sampler:
+    """Build a Sampler from the ``_best`` checkpoint (reference
+    generate.py:38-52)."""
+    cfg = dict(cfg)
+    if classes_size is not None:
+        cfg["classes_size"] = classes_size
+    model = build_model(cfg)
+    if variables is None:
+        ckpt = load_checkpoint(cfg, tag, "best")
+        if ckpt is None:
+            raise FileNotFoundError(f"no best checkpoint for {tag}")
+        variables = jax.tree_util.tree_map(jnp.asarray, ckpt["model_dict"])
+    ae_model = ae_vars = None
+    if FAMILY[cfg["model_name"]] == "pixelcnn":
+        seed = tag.split("_")[0]
+        ae_tag = "_".join(p for p in [seed, cfg["data_name"], cfg["subset"],
+                                      cfg["ae_name"]] if p)
+        ae_ckpt = load_checkpoint(cfg, ae_tag, "best")
+        if ae_ckpt is None:
+            raise FileNotFoundError(f"no best checkpoint for AE {ae_tag}")
+        ae_cfg = process_control({**cfg, "model_name": cfg["ae_name"]})
+        ae_cfg["classes_size"] = cfg["classes_size"]
+        ae_model = build_model(ae_cfg, cfg["ae_name"])
+        ae_vars = jax.tree_util.tree_map(jnp.asarray, ae_ckpt["model_dict"])
+    return Sampler(cfg, model, variables, ae_model, ae_vars)

@@ -1,0 +1,64 @@
+"""Test harness: force CPU with 8 virtual devices (the TPU-world substitute
+for multi-chip tests — SURVEY.md §4) and provide tiny-config helpers.
+
+NOTE: this environment pins JAX_PLATFORMS=axon (a tunneled TPU) at the
+process level and the plugin ignores the env var, so the CPU override must go
+through jax.config before any backend use.
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import copy
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mcgm_tpu.config import apply_control_name, load_config, process_control
+
+
+def make_tiny_cfg(model_name: str, data_name: str = "Synthetic",
+                  control_name: str = "0.5", tmp_dir: str = "/tmp/mcgm_test",
+                  **overrides) -> dict:
+    cfg = load_config()
+    cfg = apply_control_name(cfg, control_name)
+    cfg.update(dict(
+        data_name=data_name, model_name=model_name, output_dir=tmp_dir,
+        num_epochs=1, derive_batch_size=False,
+        batch_size={"train": 16, "test": 16}, log_interval=1.0,
+    ))
+    cfg.update(overrides)
+    cfg = process_control(cfg)
+    # shrink every family to test size
+    cfg["vae"] = {"hidden_size": [8, 16, 32], "latent_size": 16,
+                  "num_res_block": 1, "embedding_size": 8}
+    cfg["gan"] = {"latent_size": 16, "generator_hidden_size": [16, 16, 16, 16],
+                  "discriminator_hidden_size": [16, 16, 16, 16],
+                  "embedding_size": 8}
+    cfg["glow"] = {"hidden_size": 16, "K": 2, "L": 3, "affine": True,
+                   "conv_lu": True}
+    cfg["vqvae"] = {"hidden_size": [16, 16], "num_res_block": 1,
+                    "embedding_size": 8, "num_embedding": 32,
+                    "vq_commit": 0.25}
+    cfg["pixelcnn"] = {"num_layer": 3, "hidden_size": 16, "num_embedding": 32}
+    cfg["classifier"] = {"hidden_size": [4, 8, 8, 8]}
+    return cfg
+
+
+@pytest.fixture
+def tiny_cfg():
+    return make_tiny_cfg
+
+
+@pytest.fixture
+def tmp_output(tmp_path):
+    return str(tmp_path)

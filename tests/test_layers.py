@@ -1,0 +1,84 @@
+"""Layer-level tests: torch-shape conventions, spectral norm convergence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mcgm_tpu.ops.layers import (Conv, ConvTranspose, Dense, SNConv, SNDense,
+                                 avg_pool, global_sum_pool, max_pool,
+                                 upsample_nearest)
+
+K = jax.random.PRNGKey(0)
+
+
+def test_conv_shapes_match_torch():
+    x = jnp.zeros((2, 32, 32, 3))
+    assert Conv(8, 4, 2, 1).init_with_output(K, x)[0].shape == (2, 16, 16, 8)
+    assert Conv(8, 3, 1, 1).init_with_output(K, x)[0].shape == (2, 32, 32, 8)
+    assert Conv(8, 1, 1, 0).init_with_output(K, x)[0].shape == (2, 32, 32, 8)
+    assert Conv(8, 7, 1, 3).init_with_output(K, x)[0].shape == (2, 32, 32, 8)
+
+
+def test_conv_transpose_doubles():
+    x = jnp.zeros((2, 8, 8, 4))
+    y, _ = ConvTranspose(8, 4, 2, 1).init_with_output(K, x)
+    assert y.shape == (2, 16, 16, 8)
+
+
+def test_conv_transpose_matches_torch_math():
+    """ConvT(k=4,s=2,p=1) on a delta == kernel values scattered correctly."""
+    x = np.zeros((1, 2, 2, 1), np.float32)
+    x[0, 0, 0, 0] = 1.0
+    m = ConvTranspose(1, 4, 2, 1, use_bias=False)
+    v = m.init(K, jnp.asarray(x))
+    kern = np.asarray(v["params"]["kernel"])[..., 0, 0]  # [4,4]
+    y = np.asarray(m.apply(v, jnp.asarray(x)))[0, ..., 0]
+    # torch: output[i,j] = sum_k x[k] * w[i - 2k + 1] over valid; the delta at
+    # (0,0) writes kernel[1:4, 1:4] (after pad crop) into y[0:3, 0:3]
+    assert y.shape == (4, 4)
+    assert np.allclose(y[0:3, 0:3], kern[1:4, 1:4], atol=1e-6)
+
+
+def test_upsample_nearest():
+    x = jnp.asarray(np.arange(4, dtype=np.float32).reshape(1, 2, 2, 1))
+    y = np.asarray(upsample_nearest(x, 2))[0, ..., 0]
+    assert np.array_equal(y[:2, :2], np.zeros((2, 2)))
+    assert np.array_equal(y[2:, 2:], np.full((2, 2), 3.0))
+
+
+def test_pools():
+    x = jnp.asarray(np.arange(16, dtype=np.float32).reshape(1, 4, 4, 1))
+    assert np.asarray(max_pool(x))[0, 0, 0, 0] == 5.0
+    assert np.asarray(avg_pool(x))[0, 0, 0, 0] == 2.5
+    assert global_sum_pool(x).shape == (1, 1)
+    assert float(global_sum_pool(x)[0, 0]) == x.sum()
+
+
+def test_spectral_norm_converges_to_unit_sigma():
+    """After many power iterations, the top singular value of W/sigma ≈ 1."""
+    m = SNDense(16)
+    x = jnp.ones((4, 32))
+    v = m.init(K, x)
+    spectral = v["spectral"]
+    for _ in range(50):
+        _, mut = m.apply({**v, "spectral": spectral}, x, update_stats=True,
+                         mutable=["spectral"])
+        spectral = mut["spectral"]
+    kernel = np.asarray(v["params"]["kernel"])
+    u = np.asarray(spectral["u"])
+    mat = kernel.reshape(-1, kernel.shape[-1]).T
+    v_vec = mat.T @ u
+    v_vec /= np.linalg.norm(v_vec)
+    u2 = mat @ v_vec
+    sigma = np.linalg.norm(u2)
+    top_sv = np.linalg.svd(mat, compute_uv=False)[0]
+    assert abs(sigma - top_sv) / top_sv < 1e-3
+
+
+def test_spectral_norm_no_update_in_eval():
+    m = SNConv(8, 3, 1, 1)
+    x = jnp.ones((2, 8, 8, 4))
+    v = m.init(K, x)
+    _, mut = m.apply(v, x, update_stats=False, mutable=["spectral"])
+    assert np.array_equal(np.asarray(mut["spectral"]["u"]),
+                          np.asarray(v["spectral"]["u"]))

@@ -1,0 +1,91 @@
+"""Cross-family model contract tests: build from cfg, forward returns a
+finite loss, generate returns [-1,1] images of data shape."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import make_tiny_cfg
+from mcgm_tpu.models import build_model
+from mcgm_tpu.train.loop import FAMILY, RNG_STREAMS
+
+K = jax.random.PRNGKey(0)
+ALL = ["mcvae", "cvae", "vqvae", "classifier", "mcgan", "cgan",
+       "mcglow", "cglow", "mcpixelcnn", "cpixelcnn"]
+
+
+def _batch(cfg, model_name, bs=4):
+    if FAMILY[model_name] == "pixelcnn":
+        img = jnp.zeros((bs, 8, 8), jnp.int32)
+    else:
+        img = jax.random.uniform(K, (bs, *cfg["data_shape"]), minval=-1, maxval=1)
+    return {"img": img, "label": jnp.arange(bs) % cfg["classes_size"]}
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_forward_loss_finite(name):
+    cfg = make_tiny_cfg(name)
+    cfg["classes_size"] = 10
+    m = build_model(cfg)
+    batch = _batch(cfg, name)
+    rngs = {"params": K, "reparam": K, "noise": K, "z": K}
+    v = m.init(rngs, batch, train=True)
+    mutable = [k for k in v if k != "params"]
+    if name in ("mcgan", "cgan"):
+        out, _ = m.apply(v, batch, train=True, rngs={"z": K}, mutable=mutable)
+        assert out.shape == (4, 1)  # G→D chain logit
+        return
+    out, _ = m.apply(v, batch, train=True, rngs=rngs, mutable=mutable)
+    assert np.isfinite(float(out["loss"]))
+
+
+@pytest.mark.parametrize("name", ["mcvae", "cvae", "mcgan", "cgan", "mcglow", "cglow"])
+def test_generate_range_and_shape(name):
+    cfg = make_tiny_cfg(name)
+    cfg["classes_size"] = 10
+    m = build_model(cfg)
+    batch = _batch(cfg, name)
+    rngs = {"params": K, "reparam": K, "noise": K, "z": K}
+    v = m.init(rngs, batch, train=True)
+    C = jnp.array([0, 5, 9])
+    gen = m.apply(v, C, method="generate", rngs={"z": K})
+    assert gen.shape == (3, *cfg["data_shape"])
+    g = np.asarray(gen)
+    assert np.isfinite(g).all()
+    assert g.min() >= -1.001 and g.max() <= 1.001
+
+
+def test_vqvae_code_grid_and_decode_code():
+    cfg = make_tiny_cfg("vqvae")
+    cfg["classes_size"] = 10
+    m = build_model(cfg)
+    batch = _batch(cfg, "vqvae")
+    v = m.init({"params": K}, batch, train=True)
+    out, _ = m.apply(v, batch, train=True, mutable=["batch_stats", "vq_stats"])
+    assert out["code"].shape == (4, 8, 8)  # 32px → 8x8 grid (reference vqvae)
+    dec = m.apply(v, out["code"], method="decode_code")
+    assert dec.shape == (4, 32, 32, 3)
+
+
+def test_classifier_feature_dim():
+    cfg = make_tiny_cfg("classifier")
+    cfg["classes_size"] = 10
+    m = build_model(cfg)
+    batch = _batch(cfg, "classifier")
+    v = m.init({"params": K}, batch, train=True)
+    f = m.apply(v, batch, method="feature")
+    assert f.shape == (4, cfg["classifier"]["hidden_size"][-1] * 4 * 4)
+
+
+def test_mc_vs_c_param_structure():
+    """mc models carry codebooks; c models carry class embeddings."""
+    cfg = make_tiny_cfg("mcvae"); cfg["classes_size"] = 10
+    v_mc = build_model(cfg).init({"params": K, "reparam": K},
+                                 _batch(cfg, "mcvae"), train=True)
+    assert "codebook" in v_mc
+    cfg = make_tiny_cfg("cvae"); cfg["classes_size"] = 10
+    v_c = build_model(cfg).init({"params": K, "reparam": K},
+                                _batch(cfg, "cvae"), train=True)
+    assert "codebook" not in v_c
+    assert "embedding" in v_c["params"]["encoder"]

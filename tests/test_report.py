@@ -1,0 +1,87 @@
+"""Logger, result aggregation, summaries, learning curves."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+
+from mcgm_tpu.report.logger import Logger
+from mcgm_tpu.report.process import collect_results, process, summarize
+from mcgm_tpu.report.summary import summarize_model
+from mcgm_tpu.utils import save
+
+
+def test_logger_weighted_running_mean():
+    lg = Logger()
+    lg.append({"Loss": 2.0}, "train", n=10)
+    lg.append({"Loss": 4.0}, "train", n=30)
+    assert abs(lg.mean["train/Loss"] - 3.5) < 1e-9
+
+
+def test_logger_history_snapshot_and_reset():
+    lg = Logger()
+    lg.append({"Loss": 1.0}, "train")
+    lg.safe(False)
+    lg.reset()
+    lg.append({"Loss": 3.0}, "train")
+    lg.safe(False)
+    assert lg.history["train/Loss"] == [1.0, 3.0]
+
+
+def test_logger_pickles_without_file_handle(tmp_path):
+    lg = Logger(str(tmp_path))
+    lg.safe(True)
+    lg.append({"Loss": 1.0}, "train")
+    lg.write("train", ["Loss"])
+    data = pickle.dumps(lg)
+    lg2 = pickle.loads(data)
+    assert lg2.mean["train/Loss"] == 1.0
+    lg.safe(False)
+
+
+def test_process_aggregates_seeds(tmp_path):
+    out = str(tmp_path)
+    for seed, val in [(0, 1.0), (1, 3.0)]:
+        lg = Logger()
+        lg.append({"BCE": val}, "test")
+        lg.safe(False)
+        save({"cfg": {}, "epoch": 2, "logger": lg},
+             os.path.join(out, "result", f"{seed}_X_label_mcvae_0.5.pkl"))
+    np.save(os.path.join(out, "result", "is_generated_0_X_label_mcvae_0.5.npy"),
+            np.float64(5.5))
+    summary = process(out)
+    cell = summary["X_label_mcvae_0.5"]
+    assert cell["test/BCE"]["mean"] == 2.0
+    assert cell["test/BCE"]["argmax"] == "1"
+    assert cell["generated/InceptionScore"]["mean"] == 5.5
+    assert os.path.exists(os.path.join(out, "processed_result.json"))
+
+
+def test_summarize_model_counts_params(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from mcgm_tpu.ops.layers import Dense
+
+    m = Dense(4)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)))
+    text = summarize_model(m, v, "dense", str(tmp_path))
+    assert "16" in text  # 3*4 kernel + 4 bias
+    assert os.path.exists(os.path.join(str(tmp_path), "summary.md"))
+
+
+def test_learning_curves_from_checkpoints(tmp_path):
+    from mcgm_tpu.report.learning_curve import collect_curves, plot_curves
+
+    out = str(tmp_path)
+    lg = Logger()
+    for v in (1.0, 2.0, 3.0):
+        lg.append({"InceptionScore": v}, "test")
+        lg.safe(False)
+        lg.reset()
+    save({"logger": lg}, os.path.join(out, "model",
+                                      "0_X_label_mcgan_0.5_checkpoint.pkl"))
+    curves = collect_curves(out, "test/InceptionScore")
+    assert curves["X_label_mcgan_0.5"] == [[1.0, 2.0, 3.0]]
+    written = plot_curves(out, ("test/InceptionScore",))
+    assert len(written) == 1 and os.path.exists(written[0])

@@ -1,0 +1,88 @@
+"""End-to-end training smoke tests for every family + resume semantics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import make_tiny_cfg
+from mcgm_tpu.train.loop import Experiment
+
+
+def _run(model_name, tmp, epochs=1, **over):
+    cfg = make_tiny_cfg(model_name, tmp_dir=tmp, num_epochs=epochs, **over)
+    exp = Experiment(cfg)
+    logger = exp.run()
+    return exp, logger
+
+
+def test_train_mcvae(tmp_output):
+    exp, logger = _run("mcvae", tmp_output)
+    assert np.isfinite(logger.history["train/Loss"][-1])
+    assert os.path.exists(os.path.join(tmp_output, "model",
+                                       f"{exp.tag}_best.pkl"))
+
+
+def test_train_vqvae_then_pixelcnn(tmp_output):
+    exp_ae, _ = _run("vqvae", tmp_output)
+    exp, logger = _run("mcpixelcnn", tmp_output)
+    assert np.isfinite(logger.history["train/NLL"][-1])
+
+
+def test_pixelcnn_without_ae_raises(tmp_output):
+    with pytest.raises(FileNotFoundError):
+        _run("mcpixelcnn", os.path.join(tmp_output, "empty"))
+
+
+def test_train_gan(tmp_output):
+    exp, logger = _run("mcgan", tmp_output)
+    assert np.isfinite(logger.history["train/Loss_D"][-1])
+    assert np.isfinite(logger.history["train/Loss_G"][-1])
+
+
+def test_train_glow_runs_ddi(tmp_output):
+    cfg = make_tiny_cfg("mcglow", tmp_dir=tmp_output, num_epochs=1)
+    cfg["num_init_batches"] = 2
+    exp = Experiment(cfg)
+    logger = exp.run()
+    assert np.isfinite(logger.history["train/Loss"][-1])
+
+
+def test_train_classifier_accuracy_improves(tmp_output):
+    exp, logger = _run("classifier", tmp_output, epochs=3)
+    acc = logger.history["test/Accuracy"]
+    assert acc[-1] > 15.0  # 10 classes, synthetic blobs are separable
+
+
+def test_resume_mode_1_continues(tmp_output):
+    cfg = make_tiny_cfg("mcvae", tmp_dir=tmp_output, num_epochs=2)
+    exp1 = Experiment(cfg)
+    exp1.run()
+    hist1 = len(exp1.logger.history["train/Loss"])
+    cfg2 = make_tiny_cfg("mcvae", tmp_dir=tmp_output, num_epochs=4,
+                         resume_mode=1)
+    exp2 = Experiment(cfg2)
+    exp2.run()
+    # epochs 3 and 4 appended to the restored history
+    assert len(exp2.logger.history["train/Loss"]) == hist1 + 2
+
+
+def test_resume_mode_2_warm_start(tmp_output):
+    cfg = make_tiny_cfg("mcvae", tmp_dir=tmp_output, num_epochs=1)
+    Experiment(cfg).run()
+    cfg2 = make_tiny_cfg("mcvae", tmp_dir=tmp_output, num_epochs=1,
+                         resume_mode=2)
+    exp2 = Experiment(cfg2)
+    exp2.run()
+    assert len(exp2.logger.history["train/Loss"]) == 1  # fresh logger
+
+
+def test_scheduler_reduces_lr_on_plateau(tmp_output):
+    cfg = make_tiny_cfg("mcvae", tmp_dir=tmp_output, num_epochs=1)
+    exp = Experiment(cfg)
+    exp.setup()
+    exp.scheduler.cfg["patience"] = 0
+    lr0 = exp.scheduler.lr
+    exp.scheduler.step(1.0)
+    exp.scheduler.step(1.0)  # no improvement → reduce
+    assert exp.scheduler.lr < lr0

@@ -1,0 +1,78 @@
+"""generate / transit / create workflow tests on a tiny trained model."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from conftest import make_tiny_cfg
+from mcgm_tpu.train.loop import Experiment
+from mcgm_tpu.workflows import (create_workflow, generate, load_sampler,
+                                transit_workflow)
+
+K = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("wf"))
+    cfg = make_tiny_cfg("mcvae", tmp_dir=tmp, num_epochs=1,
+                        save_npy=True, save_per_mode=2)
+    cfg["generate_per_mode"] = 3
+    exp = Experiment(cfg)
+    exp.run()
+    return exp.cfg, exp.tag, tmp
+
+
+def test_generate_npy_and_grid(trained):
+    cfg, tag, tmp = trained
+    sampler = load_sampler(cfg, tag)
+    out = generate(sampler, tag, rng=K)
+    assert out.shape == (cfg["classes_size"] * cfg["generate_per_mode"],
+                         3, 32, 32)  # NCHW dump for reference parity
+    assert out.min() >= 0 and out.max() <= 255
+    assert os.path.exists(os.path.join(tmp, "npy", f"generated_{tag}.npy"))
+    assert os.path.exists(os.path.join(tmp, "vis", f"generated_{tag}.png"))
+
+
+def test_transit_grids(trained):
+    cfg, tag, tmp = trained
+    sampler = load_sampler(cfg, tag)
+    grids = transit_workflow(sampler, tag, rng=K)
+    assert 10 in grids
+    # (save_per_mode + 1) alpha rows x 10 modes
+    assert grids[10].shape[0] == (cfg["save_per_mode"] + 1) * 10
+    assert os.path.exists(os.path.join(tmp, "vis", f"transited_{tag}_10.png"))
+
+
+def test_create_npy(trained):
+    cfg, tag, tmp = trained
+    sampler = load_sampler(cfg, tag)
+    out = create_workflow(sampler, tag, rng=K)
+    assert out.shape[0] == cfg["classes_size"] * cfg["generate_per_mode"]
+    assert os.path.exists(os.path.join(tmp, "npy", f"created_{tag}.npy"))
+
+
+def test_create_vis_with_new_mode_counts(trained):
+    cfg, tag, tmp = trained
+    cfg = dict(cfg)
+    cfg["save_npy"] = False
+    sampler = load_sampler(cfg, tag)
+    create_workflow(sampler, tag, rng=K)
+    assert os.path.exists(os.path.join(tmp, "vis", f"created_{tag}_50.png"))
+
+
+def test_transit_alpha_zero_collapses_modes(trained):
+    """At alpha=0 all modes equal the root → identical images per column."""
+    cfg, tag, tmp = trained
+    sampler = load_sampler(cfg, tag)
+    from mcgm_tpu.models.manipulate import transit
+
+    s0 = sampler.with_variables(transit(sampler.variables, 0, 0.0))
+    C = np.arange(5)
+    z = sampler.sample_z(5, K)
+    z = jax.numpy.tile(z[0:1], (5, 1))  # same z for all modes
+    imgs = s0.sample_with_z(C, z)
+    for i in range(1, 5):
+        assert np.allclose(imgs[i], imgs[0], atol=1e-5)
