@@ -26,6 +26,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: repeat bench runs skip the large first-compile
+jax.config.update("jax_compilation_cache_dir", "/tmp/mcgm_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 # Conservative estimate of the torch reference's throughput on one
 # datacenter accelerator for this model/protocol (images consumed per second
 # of wall clock, batch 128, 5 D-steps + 1 G-step per batch).
@@ -38,7 +42,8 @@ STEPS = 30
 def main():
     from mcgm_tpu.models.gan import MCGAN
     from mcgm_tpu.train.optim import make_optimizer
-    from mcgm_tpu.train.state import GANTrainState, make_gan_train_step, split_variables
+    from mcgm_tpu.train.state import (GANTrainState, cpu_init,
+                                      make_gan_train_step, split_variables)
 
     model = MCGAN((32, 32, 3), 128, (256,) * 4, (128,) * 4, num_mode=10,
                   controller_rate=0.5, cifar_style=True)
@@ -47,7 +52,10 @@ def main():
         "img": jax.random.uniform(rng, (BATCH, 32, 32, 3), minval=-1, maxval=1),
         "label": jnp.arange(BATCH, dtype=jnp.int32) % 10,
     }
-    variables = model.init({"params": rng, "z": rng}, batch, train=True)
+    # init eagerly on local CPU (tiny example batch), bulk-transfer to device
+    init_batch = {"img": batch["img"][:2], "label": batch["label"][:2]}
+    variables = cpu_init(model, {"params": rng, "z": rng}, init_batch, train=True)
+    variables = jax.device_put(variables, jax.devices()[0])
     params, state = split_variables(variables)
     cfg = {"optimizer_name": "Adam", "lr": 2e-4, "weight_decay": 0}
     g_opt = make_optimizer(cfg, 2e-4, (0.5, 0.999))

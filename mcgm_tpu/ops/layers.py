@@ -25,6 +25,23 @@ Dtype = Any
 torch_kernel_init = jax.nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 xavier_uniform = jax.nn.initializers.xavier_uniform()
 
+# Optional low-precision compute: when set (e.g. jnp.bfloat16), conv/matmul
+# inputs are cast down and accumulated in float32 on the MXU. Parameters and
+# optimizer state stay float32 (mixed-precision training). Set BEFORE tracing.
+_COMPUTE_DTYPE = [None]
+
+
+def set_compute_dtype(dtype):
+    """None → full f32; jnp.bfloat16 → bf16 inputs with f32 accumulation."""
+    _COMPUTE_DTYPE[0] = dtype
+
+
+def _cast_compute(x, kernel):
+    dt = _COMPUTE_DTYPE[0]
+    if dt is None:
+        return x, kernel
+    return x.astype(dt), kernel.astype(dt)
+
 
 def torch_bias_init(fan_in: int) -> Callable:
     bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
@@ -85,11 +102,13 @@ class Conv(nn.Module):
             pad = [(self.padding, self.padding)] * 2
         else:
             pad = self.padding
+        xc, kc = _cast_compute(x, kernel)
         y = jax.lax.conv_general_dilated(
-            x, kernel,
+            xc, kc,
             window_strides=(self.strides, self.strides),
             padding=pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             binit = self.bias_init or torch_bias_init(in_ch * kh * kw)
@@ -120,11 +139,13 @@ class ConvTranspose(nn.Module):
         # torch ConvTranspose2d padding p == (k-1-p) input-side padding of the
         # equivalent fractionally-strided conv; torch scatters the kernel
         # unflipped, which corresponds to flipping it for conv_transpose.
+        xc, kc = _cast_compute(x, kernel[::-1, ::-1])
         y = jax.lax.conv_transpose(
-            x, kernel[::-1, ::-1],
+            xc, kc,
             strides=(s, s),
             padding=[(k - 1 - p, k - 1 - p)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
         )
         # torch out = (H-1)*s - 2p + k; crop any overshoot deterministically.
         target = (x.shape[1] - 1) * s - 2 * p + k
@@ -146,7 +167,8 @@ class Dense(nn.Module):
     def __call__(self, x):
         in_f = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init, (in_f, self.features))
-        y = x @ kernel
+        xc, kc = _cast_compute(x, kernel)
+        y = jnp.dot(xc, kc, preferred_element_type=jnp.float32)
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(in_f), (self.features,))
             y = y + bias
@@ -175,9 +197,11 @@ class SNConv(nn.Module):
         kernel = self.param("kernel", self.kernel_init, (kh, kw, in_ch, self.features))
         kernel = _spectral_normalize(self, kernel, update_stats)
         pad = [(self.padding, self.padding)] * 2
+        xc, kc = _cast_compute(x, kernel)
         y = jax.lax.conv_general_dilated(
-            x, kernel, (self.strides, self.strides), pad,
+            xc, kc, (self.strides, self.strides), pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(in_ch * kh * kw), (self.features,))
@@ -195,7 +219,8 @@ class SNDense(nn.Module):
         in_f = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init, (in_f, self.features))
         kernel = _spectral_normalize(self, kernel, update_stats)
-        y = x @ kernel
+        xc, kc = _cast_compute(x, kernel)
+        y = jnp.dot(xc, kc, preferred_element_type=jnp.float32)
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(in_f), (self.features,))
             y = y + bias

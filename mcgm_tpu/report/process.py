@@ -80,7 +80,32 @@ def process(output_dir: str = "./output") -> dict:
     return summary
 
 
+def make_vis(summary: dict, output_dir: str = "./output",
+             pivot: str = "generated/InceptionScore") -> str:
+    """Emit a shell script re-running generate/transit/create for the best
+    seed of each cell (reference process.py:101-142 ``make_vis``)."""
+    lines = ["#!/bin/bash"]
+    for cell, metrics in sorted(summary.items()):
+        if pivot not in metrics:
+            continue
+        best_seed = metrics[pivot]["argmax"]
+        parts = cell.split("_")
+        # cell = {data}_{subset}_{model}[_{rate}]
+        data, subset, model = parts[0], parts[1], parts[2]
+        control = parts[3] if len(parts) > 3 else "None"
+        base = (f"--data_name {data} --subset {subset} --model_name {model} "
+                f"--control_name {control} --init_seed {best_seed}")
+        for script in ("generate", "transit", "create"):
+            lines.append(f"python {script}.py {base}")
+    path = os.path.join(output_dir, "vis.sh")
+    makedir_exist_ok(output_dir)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
 if __name__ == "__main__":
     import sys
 
-    process(sys.argv[1] if len(sys.argv) > 1 else "./output")
+    out = sys.argv[1] if len(sys.argv) > 1 else "./output"
+    make_vis(process(out), out)

@@ -138,9 +138,9 @@ class Experiment:
                       if m not in ("InceptionScore", "FID", "DBI")]
         self.test_metrics = make_device_metrics(test_names)
 
-    def _example_batch(self, split="train"):
+    def _example_batch(self, bs: int = 2):
+        """Tiny init batch — parameter shapes don't depend on batch size."""
         cfg = self.cfg
-        bs = cfg["batch_size"][split]
         if self.family == "pixelcnn":
             grid = cfg["data_shape"][0] // 4
             img = jnp.zeros((bs, grid, grid), jnp.int32)
@@ -149,10 +149,17 @@ class Experiment:
         return {"img": img, "label": jnp.zeros((bs,), jnp.int32)}
 
     def _init_variables(self, init_key):
+        from .state import cpu_init
+
         streams = RNG_STREAMS.get(self.family, ())
         rngs = {"params": init_key, "z": init_key,
                 **{s: init_key for s in streams}}
-        return self.model.init(rngs, self._example_batch(), train=True)
+        variables = cpu_init(self.model, rngs, self._example_batch(), train=True)
+        if self.mesh is not None:
+            from ..parallel import replicate
+
+            return replicate(self.mesh, variables)
+        return jax.device_put(variables, jax.devices()[0])
 
     def _build_family(self, init_key):
         cfg = self.cfg
@@ -362,6 +369,14 @@ class Experiment:
             metrics = self.test_metrics(batch, out)
             self.logger.append({k2: float(v) for k2, v in metrics.items()},
                                "test", n)
+        if cfg.get("show") and "img" in out:
+            from ..io.images import save_image_grid
+            from ..utils import vis_path
+
+            save_image_grid(np.asarray(batch["img"][:100]),
+                            vis_path(cfg, f"input_{self.tag}.png"))
+            save_image_grid(np.asarray(out["img"][:100]),
+                            vis_path(cfg, f"output_{self.tag}.png"))
         info = {"info": [f"Model: {self.tag}", f"Test Epoch: {epoch}(100%)"]}
         self.logger.append(info, "test", mean=False)
         self.logger.write("test", [m for m in cfg["metric_name"]["test"]

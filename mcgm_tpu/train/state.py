@@ -27,6 +27,26 @@ import optax
 MUTABLE_STATE = ("batch_stats", "vq_stats", "spectral", "glow_const", "codebook")
 
 
+def cpu_init(model, rngs, *args, **kwargs):
+    """Eagerly initialize on the LOCAL CPU backend, then return the variables.
+
+    Model init must run eagerly (MC codebook dedupe is host-side), and eager
+    dispatch of hundreds of tiny init ops against a remote/tunneled TPU is
+    pathologically slow. CPU-local init + one bulk ``device_put`` is the fast
+    path; callers place the result wherever it belongs.
+    """
+    import numpy as np
+
+    cpu = jax.devices("cpu")[0]
+    host_rngs = {k: jax.device_put(np.asarray(v), cpu) if hasattr(v, "shape")
+                 else v for k, v in rngs.items()}
+    host_args = jax.tree_util.tree_map(
+        lambda a: jax.device_put(np.asarray(a), cpu) if hasattr(a, "shape") else a,
+        args)
+    with jax.default_device(cpu):
+        return model.init(host_rngs, *host_args, **kwargs)
+
+
 def split_variables(variables: dict) -> tuple[dict, dict]:
     """Split a flax variables dict into (params, state)."""
     params = variables.get("params", {})

@@ -43,9 +43,8 @@ def create_workflow(sampler: Sampler, tag: str, rng=None):
         s = _created_sampler(sampler, cfg["classes_size"], seed)
         C = class_sweep(cfg["classes_size"], cfg["generate_per_mode"])
         created = s.sample_chunked(C, rng)
-        out = (created + 1) / 2 * 255
-        save(out.transpose(0, 3, 1, 2), npy_path(cfg, f"created_{tag}"),
-             mode="numpy")
+        out = ((created + 1) / 2 * 255).transpose(0, 3, 1, 2)
+        save(out, npy_path(cfg, f"created_{tag}"), mode="numpy")
         if cfg.get("save_img"):
             save_num_mode = min(100, cfg["classes_size"])
             rows = [created[i:i + save_num_mode]

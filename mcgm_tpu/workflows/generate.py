@@ -27,9 +27,10 @@ def generate(sampler: Sampler, tag: str, rng=None) -> np.ndarray | None:
     if cfg.get("save_npy"):
         C = class_sweep(cfg["classes_size"], cfg["generate_per_mode"])
         generated = sampler.sample_chunked(C, rng)
-        out = (generated + 1) / 2 * 255  # [0,255] float (reference:72-73)
-        save(out.transpose(0, 3, 1, 2), npy_path(cfg, f"generated_{tag}"),
-             mode="numpy")  # NCHW in the dump for reference-format parity
+        # [0,255] float, NCHW in the dump for reference-format parity
+        # (reference generate.py:72-73)
+        out = ((generated + 1) / 2 * 255).transpose(0, 3, 1, 2)
+        save(out, npy_path(cfg, f"generated_{tag}"), mode="numpy")
         if cfg.get("save_img"):
             save_num_mode = min(100, cfg["classes_size"])
             rows = [generated[i:i + save_num_mode]

@@ -16,6 +16,10 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: repeated test runs skip XLA recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/mcgm_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import copy
 

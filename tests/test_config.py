@@ -1,0 +1,73 @@
+"""Config system tests (reference src/config.py + utils.py:104-192)."""
+
+import pytest
+
+from mcgm_tpu.cli._common import parse_cfg
+from mcgm_tpu.config import (apply_control_name, load_config, make_model_tag,
+                             process_control)
+
+
+def test_control_name_zip_and_tag():
+    cfg = load_config()
+    cfg["data_name"] = "CIFAR10"
+    cfg["model_name"] = "mcgan"
+    cfg = apply_control_name(cfg, "0.5")
+    assert cfg["control"] == {"controller_rate": "0.5"}
+    assert make_model_tag(cfg, 3) == "3_CIFAR10_label_mcgan_0.5"
+
+
+def test_control_name_none_clears():
+    cfg = load_config()
+    cfg["model_name"] = "cgan"
+    cfg = apply_control_name(cfg, "None")
+    assert cfg["control"] == {}
+    assert make_model_tag(cfg, 0) == "0_CIFAR10_label_cgan"
+
+
+def test_process_control_derives_hyperparams():
+    cfg = load_config()
+    cfg["data_name"] = "CIFAR10"
+    cfg["model_name"] = "mcgan"
+    cfg = apply_control_name(cfg, "0.5")
+    cfg = process_control(cfg)
+    assert cfg["controller_rate"] == 0.5
+    assert cfg["data_shape"] == [32, 32, 3]
+    assert cfg["generate_per_mode"] == 1000
+    assert cfg["gan"]["generator_hidden_size"] == [256] * 4
+    assert cfg["gan"]["discriminator_hidden_size"] == [128] * 4
+    assert cfg["batch_size"] == {"train": 128, "test": 512}
+    assert cfg["vqvae"]["num_embedding"] == 512
+
+
+def test_process_control_non_cifar_gan_widths():
+    cfg = apply_control_name(load_config(), "0.5")
+    cfg.update(data_name="Omniglot", model_name="mcgan")
+    cfg = process_control(cfg)
+    assert cfg["data_shape"] == [32, 32, 1]
+    assert cfg["generate_per_mode"] == 20
+    assert cfg["gan"]["generator_hidden_size"] == [512, 256, 128, 64]
+
+
+def test_process_control_invalid_dataset():
+    cfg = load_config()
+    cfg["data_name"] = "NopeNet"
+    with pytest.raises(ValueError):
+        process_control(cfg)
+
+
+def test_parse_cfg_overrides_and_control():
+    cfg = parse_cfg(["--data_name", "COIL100", "--model_name", "mcvae",
+                     "--control_name", "0.5", "--init_seed", "4",
+                     "--batch_size", "{train: 8, test: 8}"])
+    assert cfg["data_name"] == "COIL100"
+    assert cfg["init_seed"] == 4
+    assert cfg["batch_size"] == {"train": 8, "test": 8}
+    assert cfg["control"] == {"controller_rate": "0.5"}
+
+
+def test_glow_depth_by_resolution():
+    cfg = apply_control_name(load_config(), "0.5")
+    cfg.update(data_name="CelebA-HQ", model_name="mcglow")
+    cfg = process_control(cfg)
+    assert cfg["glow"]["L"] == 5
+    assert cfg["batch_size"] == {"train": 32, "test": 128}
