@@ -42,7 +42,7 @@ STEPS = 30
 def main():
     from mcgm_tpu.models.gan import MCGAN
     from mcgm_tpu.train.optim import make_optimizer
-    from mcgm_tpu.train.state import (GANTrainState, cpu_init,
+    from mcgm_tpu.train.state import (GANTrainState, jit_init,
                                       make_gan_train_step, split_variables)
 
     model = MCGAN((32, 32, 3), 128, (256,) * 4, (128,) * 4, num_mode=10,
@@ -52,9 +52,9 @@ def main():
         "img": jax.random.uniform(rng, (BATCH, 32, 32, 3), minval=-1, maxval=1),
         "label": jnp.arange(BATCH, dtype=jnp.int32) % 10,
     }
-    # init eagerly on local CPU (tiny example batch), bulk-transfer to device
+    # jitted CPU init: one compiled program (disk-cached across runs)
     init_batch = {"img": batch["img"][:2], "label": batch["label"][:2]}
-    variables = cpu_init(model, {"params": rng, "z": rng}, init_batch, train=True)
+    variables = jit_init(model, {"params": rng, "z": rng}, init_batch, train=True)
     variables = jax.device_put(variables, jax.devices()[0])
     params, state = split_variables(variables)
     cfg = {"optimizer_name": "Adam", "lr": 2e-4, "weight_decay": 0}

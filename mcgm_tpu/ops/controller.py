@@ -103,8 +103,22 @@ class MultimodalController(nn.Module):
     def __call__(self, x: jax.Array, indicator: jax.Array) -> jax.Array:
         def init():
             rng_key = self.make_rng("params")
-            return make_codebook(
-                rng_key, self.num_mode, self.features, self.controller_rate
+
+            def host(key_data) -> np.ndarray:
+                seed = int(np.asarray(key_data).ravel()[-1]) & 0x7FFFFFFF
+                return np.asarray(
+                    make_codebook(seed, self.num_mode, self.features,
+                                  self.controller_rate),
+                    np.float32,
+                )
+
+            # pure_callback keeps the host-side dedupe loop while letting the
+            # WHOLE model init run under jit (one compiled program instead of
+            # thousands of eager dispatches — critical on remote TPU backends).
+            return jax.pure_callback(
+                host,
+                jax.ShapeDtypeStruct((self.num_mode, self.features), jnp.float32),
+                jax.random.key_data(rng_key),
             )
 
         codebook = self.variable("codebook", "codebook", init)

@@ -149,12 +149,12 @@ class Experiment:
         return {"img": img, "label": jnp.zeros((bs,), jnp.int32)}
 
     def _init_variables(self, init_key):
-        from .state import cpu_init
+        from .state import jit_init
 
         streams = RNG_STREAMS.get(self.family, ())
         rngs = {"params": init_key, "z": init_key,
                 **{s: init_key for s in streams}}
-        variables = cpu_init(self.model, rngs, self._example_batch(), train=True)
+        variables = jit_init(self.model, rngs, self._example_batch(), train=True)
         if self.mesh is not None:
             from ..parallel import replicate
 

@@ -27,14 +27,36 @@ import optax
 MUTABLE_STATE = ("batch_stats", "vq_stats", "spectral", "glow_const", "codebook")
 
 
-def cpu_init(model, rngs, *args, **kwargs):
-    """Eagerly initialize on the LOCAL CPU backend, then return the variables.
+def jit_init(model, rngs, *args, **kwargs):
+    """Initialize under jit ON THE LOCAL CPU BACKEND: one compiled
+    (disk-cached) program instead of thousands of eager dispatches.
 
-    Model init must run eagerly (MC codebook dedupe is host-side), and eager
-    dispatch of hundreds of tiny init ops against a remote/tunneled TPU is
-    pathologically slow. CPU-local init + one bulk ``device_put`` is the fast
-    path; callers place the result wherever it belongs.
+    Pinned to CPU because (a) eager/remote dispatch against a tunneled TPU is
+    pathological and (b) the MC codebook dedupe runs via ``jax.pure_callback``,
+    which remote PJRT backends may not support (axon doesn't). Callers
+    ``device_put`` the returned variables wherever they belong.
     """
+    import numpy as np
+
+    cpu = jax.devices("cpu")[0]
+
+    def to_cpu(a):
+        return (jax.device_put(np.asarray(a), cpu)
+                if hasattr(a, "shape") else a)
+
+    rngs = {k: to_cpu(v) for k, v in rngs.items()}
+    args = jax.tree_util.tree_map(to_cpu, args)
+
+    @jax.jit
+    def f(rngs, args):
+        return model.init(rngs, *args, **kwargs)
+
+    with jax.default_device(cpu):
+        return f(rngs, args)
+
+
+def cpu_init(model, rngs, *args, **kwargs):
+    """Eager init pinned to the LOCAL CPU backend (fallback path)."""
     import numpy as np
 
     cpu = jax.devices("cpu")[0]

@@ -24,7 +24,9 @@ def test_train_mcvae(tmp_output):
 
 
 def test_train_vqvae_then_pixelcnn(tmp_output):
-    exp_ae, _ = _run("vqvae", tmp_output)
+    # vqvae trains unconditioned: control 'None' → tag without rate suffix
+    # (reference make.py:51-54), which is what ae_tag resolution expects
+    exp_ae, _ = _run("vqvae", tmp_output, control_name="None")
     exp, logger = _run("mcpixelcnn", tmp_output)
     assert np.isfinite(logger.history["train/NLL"][-1])
 
