@@ -40,6 +40,12 @@ STEPS = 30
 
 
 def main():
+    import os
+
+    if os.environ.get("MCGM_BF16", "0") == "1":
+        from mcgm_tpu.ops.layers import set_compute_dtype
+
+        set_compute_dtype(jnp.bfloat16)
     from mcgm_tpu.models.gan import MCGAN
     from mcgm_tpu.train.optim import make_optimizer
     from mcgm_tpu.train.state import (GANTrainState, jit_init,

@@ -64,6 +64,7 @@ def make_model_tag(cfg: dict, seed: int | None = None) -> str:
 _DATA_SHAPES = {
     "MNIST": ((32, 32, 1), 1000),
     "FashionMNIST": ((32, 32, 1), 1000),
+    "EMNIST": ((32, 32, 1), 1000),
     "Omniglot": ((32, 32, 1), 20),
     "SVHN": ((32, 32, 3), 1000),
     "CIFAR10": ((32, 32, 3), 1000),

@@ -20,7 +20,14 @@ def to_uint8(img: np.ndarray, value_range=(-1.0, 1.0)) -> np.ndarray:
 
 def make_grid(img: np.ndarray, nrow: int = 10, padding: int = 2,
               pad_value: int = 0) -> np.ndarray:
-    """Tile [N,H,W,C] uint8 into a grid image (torchvision make_grid analog)."""
+    """Tile [N,H,W,C] uint8 into a grid image (torchvision make_grid analog).
+
+    Uses the native fastimage path when built; numpy fallback otherwise."""
+    from .native import make_grid_u8
+
+    native = make_grid_u8(img, nrow, padding, pad_value)
+    if native is not None:
+        return native
     n, h, w, c = img.shape
     ncol = nrow
     nrows = (n + ncol - 1) // ncol

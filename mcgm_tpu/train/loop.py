@@ -517,7 +517,16 @@ class Experiment:
 
 
 def run_experiments(cfg: dict, num_epochs: int | None = None, mesh=None):
-    """reference ``main()``: loop seeds init_seed..init_seed+num_experiments."""
+    """reference ``main()``: loop seeds init_seed..init_seed+num_experiments.
+
+    ``world_size > 1`` maps onto a data-parallel mesh of that many devices —
+    the SPMD analog of the reference's DataParallel gate
+    (reference train_vae.py:72-73).
+    """
+    if mesh is None and cfg.get("world_size", 1) > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(n_data=cfg["world_size"])
     results = []
     for i in range(cfg.get("num_experiments", 1)):
         seed = cfg["init_seed"] + i

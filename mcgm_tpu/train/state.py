@@ -143,7 +143,7 @@ class GANTrainState:
 
 
 def make_gan_train_step(model, g_opt, d_opt, d_iter: int = 5,
-                        loss_type: str = "Hinge"):
+                        loss_type: str = "Hinge", fuse_d_pass: bool = True):
     """Fused GAN step: ``d_iter`` D updates on the same batch (fresh z each,
     matching reference train_gan.py:139-158) then one G update.
 
@@ -151,6 +151,13 @@ def make_gan_train_step(model, g_opt, d_opt, d_iter: int = 5,
     ``relu(1 - D(x)) + relu(1 + D(G(z)))``; G maximizes ``D(G(z))``
     (reference train_gan.py:153-155, 171-172). BCE variant supported
     (train_gan.py:148-152).
+
+    ``fuse_d_pass``: run D once on ``concat(real, fake)`` instead of twice —
+    mathematically identical (the discriminator has no batch-coupled layers:
+    spectral norm + MC gating + sum-pool are per-sample), doubles the matmul
+    batch for better MXU utilization at these sizes. The only delta vs the
+    reference is one spectral-norm power iteration per D step instead of two
+    (u converges to the same vector). Disable for strict parity.
     """
 
     def _split_params(all_params):
@@ -195,16 +202,25 @@ def make_gan_train_step(model, g_opt, d_opt, d_iter: int = 5,
                 )
                 fake = jax.lax.stop_gradient(fake)
                 variables = _merge(ts.g_params, dp, mut1)
-                d_real, mut2 = model.apply(
-                    variables, img, label, True, method="discriminate",
-                    mutable=list(state.keys()),
-                )
-                variables = _merge(ts.g_params, dp, mut2)
-                d_fake, mut3 = model.apply(
-                    variables, fake, label, True, method="discriminate",
-                    mutable=list(state.keys()),
-                )
-                return _d_losses(d_real, d_fake), mut3
+                if fuse_d_pass:
+                    both = jnp.concatenate([img, fake], axis=0)
+                    labels2 = jnp.concatenate([label, label], axis=0)
+                    d_out, mut_last = model.apply(
+                        variables, both, labels2, True, method="discriminate",
+                        mutable=list(state.keys()),
+                    )
+                    d_real, d_fake = d_out[:B], d_out[B:]
+                else:
+                    d_real, mut2 = model.apply(
+                        variables, img, label, True, method="discriminate",
+                        mutable=list(state.keys()),
+                    )
+                    variables = _merge(ts.g_params, dp, mut2)
+                    d_fake, mut_last = model.apply(
+                        variables, fake, label, True, method="discriminate",
+                        mutable=list(state.keys()),
+                    )
+                return _d_losses(d_real, d_fake), mut_last
 
             (d_loss, new_state), grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True
