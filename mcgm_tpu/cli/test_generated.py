@@ -43,8 +43,18 @@ def score_generated(cfg: dict, tag: str, kind: str = "generated"):
     feature_fn = make_feature_fn(cfg)
     if feature_fn is None:
         raise RuntimeError("no feature model available for IS/FID")
-    real_features = extract_real_features(feature_fn, dataset["train"].img)
-    metric = Metric(cfg, feature_fn, real_features)
+    # precomputed real-side stats skip the train-set sweep (analog of
+    # reference fid_tf.py:355-357)
+    import os
+
+    stats_path = os.path.join(cfg["output_dir"], "fid_stats",
+                              f"fid_stats_{cfg['data_name']}_train.npz")
+    if os.path.exists(stats_path):
+        z = np.load(stats_path)
+        metric = Metric(cfg, feature_fn, real_stats=(z["mu"], z["sigma"]))
+    else:
+        real_features = extract_real_features(feature_fn, dataset["train"].img)
+        metric = Metric(cfg, feature_fn, real_features)
     ev = metric.evaluate(["InceptionScore", "FID"], {}, {"img": img})
     save(np.float64(ev["InceptionScore"]), result_path(cfg, f"is_{kind}_{tag}"),
          mode="numpy")

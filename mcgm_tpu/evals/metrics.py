@@ -196,10 +196,14 @@ class Metric:
 
     def __init__(self, cfg: dict | None = None, feature_fn=None,
                  real_features: np.ndarray | None = None,
+                 real_stats: tuple | None = None,
                  is_splits: int = 1):
         self.cfg = cfg or {}
         self.feature_fn = feature_fn
         self.real_features = real_features
+        # (mu, sigma) precomputed on the real train set — the analog of the
+        # reference's fid_stats_{data}_train.npz (fid_tf.py:355-357)
+        self.real_stats = real_stats
         self.is_splits = is_splits
 
     def _feats_probs(self, img):
@@ -225,9 +229,14 @@ class Metric:
                 out[name] = inception_score(probs, self.is_splits)
             elif name == "FID":
                 feats, _ = feats_probs()
-                if self.real_features is None:
-                    raise ValueError("FID requires real_features")
-                out[name] = fid_from_features(self.real_features, feats)
+                if self.real_stats is not None:
+                    mu1, sigma1 = self.real_stats
+                    out[name] = frechet_distance(
+                        mu1, sigma1, feats.mean(0), np.cov(feats, rowvar=False))
+                elif self.real_features is not None:
+                    out[name] = fid_from_features(self.real_features, feats)
+                else:
+                    raise ValueError("FID requires real_features or real_stats")
             elif name == "DBI":
                 out[name] = dbi(np.asarray(output["img"]), np.asarray(output["label"]))
             elif name == "Accuracy":

@@ -43,6 +43,21 @@ def _cast_compute(x, kernel):
     return x.astype(dt), kernel.astype(dt)
 
 
+def _pref():
+    """preferred_element_type: explicit f32 accumulation in full precision;
+    in bf16 mode let XLA use the native bf16 conv path (MXU still accumulates
+    partial products in f32) — mixed-dtype transpose rules otherwise reject
+    the backward pass."""
+    return None if _COMPUTE_DTYPE[0] is not None else jnp.float32
+
+
+def _cast_out(y):
+    """Keep layer outputs in the compute dtype so backward cotangents match
+    (f32 accumulation happens inside the op via preferred_element_type)."""
+    dt = _COMPUTE_DTYPE[0]
+    return y if dt is None else y.astype(dt)
+
+
 def torch_bias_init(fan_in: int) -> Callable:
     bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
 
@@ -108,12 +123,13 @@ class Conv(nn.Module):
             window_strides=(self.strides, self.strides),
             padding=pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_pref(),
         )
+        y = _cast_out(y)
         if self.use_bias:
             binit = self.bias_init or torch_bias_init(in_ch * kh * kw)
             bias = self.param("bias", binit, (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -145,16 +161,17 @@ class ConvTranspose(nn.Module):
             strides=(s, s),
             padding=[(k - 1 - p, k - 1 - p)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_pref(),
         )
         # torch out = (H-1)*s - 2p + k; crop any overshoot deterministically.
         target = (x.shape[1] - 1) * s - 2 * p + k
         if y.shape[1] != target:
             y = y[:, :target, :target, :]
+        y = _cast_out(y)
         if self.use_bias:
             # torch ConvTranspose2d fan_in = out_ch * k * k per its weight layout
             bias = self.param("bias", torch_bias_init(in_ch * k * k), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -168,10 +185,10 @@ class Dense(nn.Module):
         in_f = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init, (in_f, self.features))
         xc, kc = _cast_compute(x, kernel)
-        y = jnp.dot(xc, kc, preferred_element_type=jnp.float32)
+        y = _cast_out(jnp.dot(xc, kc, preferred_element_type=_pref()))
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(in_f), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -201,11 +218,12 @@ class SNConv(nn.Module):
         y = jax.lax.conv_general_dilated(
             xc, kc, (self.strides, self.strides), pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_pref(),
         )
+        y = _cast_out(y)
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(in_ch * kh * kw), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -220,10 +238,10 @@ class SNDense(nn.Module):
         kernel = self.param("kernel", self.kernel_init, (in_f, self.features))
         kernel = _spectral_normalize(self, kernel, update_stats)
         xc, kc = _cast_compute(x, kernel)
-        y = jnp.dot(xc, kc, preferred_element_type=jnp.float32)
+        y = _cast_out(jnp.dot(xc, kc, preferred_element_type=_pref()))
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(in_f), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 

@@ -330,9 +330,14 @@ class Experiment:
         loader = self.loaders["train"]
         loader.set_epoch(epoch)
         n_batches = len(loader)
+        limit = cfg.get("limit_train_batches")  # test-diet knob
+        if limit:
+            n_batches = min(n_batches, limit)
         log_every = max(1, int(n_batches * cfg["log_interval"]))
         t0 = time.time()
         for i, batch in enumerate(loader):
+            if limit and i >= limit:
+                break
             n = batch["n"]
             batch = self._prep_batch(batch)
             self.ts, metrics = self.train_step(self.ts, batch)
@@ -361,7 +366,10 @@ class Experiment:
         """Eval on the TRAIN split (reference train_vae.py:77 et al.)."""
         cfg = self.cfg
         loader = self.loaders["train"]
-        for batch in loader:
+        limit = cfg.get("limit_eval_batches")
+        for i, batch in enumerate(loader):
+            if limit and i >= limit:
+                break
             n = batch["n"]
             batch = self._prep_batch(batch)
             self.rng, k = jax.random.split(self.rng)

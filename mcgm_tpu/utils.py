@@ -38,10 +38,19 @@ def load(path: str, mode: str = "pickle"):
 
 
 def to_numpy_tree(tree):
-    """Device→host copy of an arbitrary pytree (for checkpointing/npy dumps)."""
+    """Device→host copy of a pytree's ARRAY leaves (for checkpointing).
+
+    Non-array leaves (Logger objects, ints, strings) pass through untouched —
+    wrapping them with np.asarray would bury them in 0-d object arrays.
+    """
     import jax
 
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    def conv(x):
+        if isinstance(x, (jax.Array, np.ndarray)):
+            return np.asarray(x)
+        return x
+
+    return jax.tree_util.tree_map(conv, tree)
 
 
 def ckpt_path(cfg: dict, tag: str, kind: str) -> str:

@@ -17,10 +17,9 @@ os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")  # silence XLA AOT-cache logs
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compilation cache: repeated test runs skip XLA recompiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/mcgm_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# NOTE: the persistent compilation cache is deliberately NOT enabled here —
+# measured on this host, XLA:CPU AOT cache loads are slower than recompiling
+# (and warn about target-feature mismatches).
 
 import copy
 
@@ -40,6 +39,7 @@ def make_tiny_cfg(model_name: str, data_name: str = "Synthetic",
         data_name=data_name, model_name=model_name, output_dir=tmp_dir,
         num_epochs=1, derive_batch_size=False,
         batch_size={"train": 16, "test": 16}, log_interval=1.0,
+        limit_train_batches=4, limit_eval_batches=3,
     ))
     cfg.update(overrides)
     cfg = process_control(cfg)

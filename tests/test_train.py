@@ -51,7 +51,8 @@ def test_train_glow_runs_ddi(tmp_output):
 
 
 def test_train_classifier_accuracy_improves(tmp_output):
-    exp, logger = _run("classifier", tmp_output, epochs=3)
+    exp, logger = _run("classifier", tmp_output, epochs=3,
+                       limit_train_batches=None, limit_eval_batches=None)
     acc = logger.history["test/Accuracy"]
     assert acc[-1] > 15.0  # 10 classes, synthetic blobs are separable
 
