@@ -42,7 +42,10 @@ STEPS = 30
 def main():
     import os
 
-    if os.environ.get("MCGM_BF16", "0") == "1":
+    # bf16 activations/weights with f32 master params is the TPU-native
+    # training configuration (measured: 3327 img/s vs 2782 f32 on v5e).
+    # Set MCGM_FP32=1 for the full-precision variant.
+    if os.environ.get("MCGM_FP32", "0") != "1":
         from mcgm_tpu.ops.layers import set_compute_dtype
 
         set_compute_dtype(jnp.bfloat16)
