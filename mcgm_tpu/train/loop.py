@@ -93,7 +93,8 @@ def apply_family_overrides(cfg: dict) -> dict:
         # betas differ between mcgan and cgan (reference train_gan.py:33-55)
         betas = (0.5, 0.999) if cfg["model_name"] == "mcgan" else (0.0, 0.9)
         cfg["gan_opt"] = {"lr": {"generator": 2e-4, "discriminator": 2e-4},
-                          "iter": {"generator": 1, "discriminator": 5},
+                          "iter": {"generator": 1,
+                                   "discriminator": cfg.get("d_iter", 5)},
                           "betas": {"generator": betas, "discriminator": betas}}
     return cfg
 
