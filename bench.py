@@ -78,10 +78,10 @@ def main():
     )
     step = jax.jit(make_gan_train_step(model, g_opt, d_opt, d_iter=5),
                    donate_argnums=0)
-    # compile + warmup
-    ts, m = step(ts, batch)
-    jax.block_until_ready(m)
-    ts, m = step(ts, batch)
+    # compile + warmup (first executions may trigger a second donated-layout
+    # compile and persistent-cache serialization)
+    for _ in range(3):
+        ts, m = step(ts, batch)
     jax.block_until_ready(m)
     t0 = time.perf_counter()
     for _ in range(STEPS):
