@@ -1,0 +1,46 @@
+"""Multi-host helpers on a single process (8 virtual devices)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mcgm_tpu.parallel import make_mesh, multihost
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+def test_initialize_is_noop_single_host():
+    multihost.initialize()  # must not raise
+    assert jax.process_count() == 1
+
+
+def test_local_batch_slice_single_host():
+    start, stop = multihost.local_batch_slice(64)
+    assert (start, stop) == (0, 64)
+
+
+def test_make_global_batch_shards_over_mesh(mesh):
+    local = {"img": np.ones((16, 4, 4, 3), np.float32),
+             "label": np.arange(16, dtype=np.int32),
+             "n": 16}
+    out = multihost.make_global_batch(mesh, local)
+    assert out["img"].shape == (16, 4, 4, 3)
+    assert not out["img"].sharding.is_fully_replicated
+    assert out["n"] == 16
+    np.testing.assert_array_equal(np.asarray(out["label"]), local["label"])
+
+
+def test_gan_d_iter_knob():
+    from conftest import make_tiny_cfg
+    from mcgm_tpu.train.loop import apply_family_overrides
+    from mcgm_tpu.config import process_control
+
+    cfg = make_tiny_cfg("mcgan", d_iter=2)
+    cfg = apply_family_overrides(process_control(cfg))
+    assert cfg["gan_opt"]["iter"]["discriminator"] == 2
+    cfg2 = apply_family_overrides(process_control(make_tiny_cfg("mcgan")))
+    assert cfg2["gan_opt"]["iter"]["discriminator"] == 5
