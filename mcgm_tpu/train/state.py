@@ -143,7 +143,8 @@ class GANTrainState:
 
 
 def make_gan_train_step(model, g_opt, d_opt, d_iter: int = 5,
-                        loss_type: str = "Hinge", fuse_d_pass: bool = True):
+                        loss_type: str = "Hinge", fuse_d_pass: bool = True,
+                        unroll: int = 1):
     """Fused GAN step: ``d_iter`` D updates on the same batch (fresh z each,
     matching reference train_gan.py:139-158) then one G update.
 
@@ -231,7 +232,7 @@ def make_gan_train_step(model, g_opt, d_opt, d_iter: int = 5,
 
         (d_params, d_opt_state, state, rng), d_losses = jax.lax.scan(
             d_substep, (ts.d_params, ts.d_opt_state, ts.state, ts.rng),
-            None, length=d_iter,
+            None, length=d_iter, unroll=unroll,
         )
 
         rng, zkey = jax.random.split(rng)
