@@ -76,7 +76,9 @@ def main():
         d_opt_state=d_opt.init(params["discriminator"]),
         rng=jax.random.PRNGKey(1),
     )
-    step = jax.jit(make_gan_train_step(model, g_opt, d_opt, d_iter=5),
+    unroll = int(os.environ.get("MCGM_UNROLL", "1"))
+    step = jax.jit(make_gan_train_step(model, g_opt, d_opt, d_iter=5,
+                                       unroll=unroll),
                    donate_argnums=0)
     # compile + warmup (first executions may trigger a second donated-layout
     # compile and persistent-cache serialization)

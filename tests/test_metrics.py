@@ -24,14 +24,25 @@ def test_inception_score_confident_distinct_classes():
 def test_frechet_identical_is_zero():
     rng = np.random.default_rng(0)
     f = rng.normal(size=(500, 8))
-    assert abs(fid_from_features(f, f.copy())) < 1e-6
+    assert abs(fid_from_features(f, f.copy())) < 1e-4  # f32 eigh precision
 
 
 def test_frechet_mean_shift():
     mu1, mu2 = np.zeros(4), np.ones(4) * 2
     sigma = np.eye(4)
     d = frechet_distance(mu1, sigma, mu2, sigma)
-    assert abs(d - 16.0) < 1e-6  # ||mu1-mu2||^2
+    assert abs(d - 16.0) < 1e-5  # ||mu1-mu2||^2
+
+
+def test_frechet_eigh_matches_scipy_sqrtm():
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(200, 16))
+    b = rng.normal(size=(200, 16)) * 1.5 + 0.3
+    mu1, s1 = a.mean(0), np.cov(a, rowvar=False)
+    mu2, s2 = b.mean(0), np.cov(b, rowvar=False)
+    fast = frechet_distance(mu1, s1, mu2, s2, method="eigh")
+    ref = frechet_distance(mu1, s1, mu2, s2, method="scipy")
+    assert abs(fast - ref) / max(ref, 1e-9) < 1e-3
 
 
 def test_dbi_matches_sklearn_if_available():
