@@ -19,7 +19,6 @@ not downloadable in zero-egress environments, so the resolution order here is:
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp

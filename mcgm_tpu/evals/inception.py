@@ -15,7 +15,6 @@ checkpoint to produce ``output/inception/inception_v3.pkl``.
 from __future__ import annotations
 
 import pickle
-from functools import partial
 
 import numpy as np
 import jax

@@ -17,9 +17,6 @@ from __future__ import annotations
 import os
 import shutil
 
-import jax
-import numpy as np
-
 from ..utils import ckpt_path, load, makedir_exist_ok, save, to_numpy_tree
 
 

@@ -9,7 +9,6 @@ PixelCNN sampling backend (reference vqvae.py:92-95).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 

@@ -29,13 +29,11 @@ import jax.numpy as jnp
 
 from ..config import make_model_tag, process_control
 from ..data import fetch_dataset, make_data_loader, process_dataset
-from ..data.loader import normalize_images
 from ..evals.features import extract_real_features, make_feature_fn
 from ..evals.metrics import Metric, make_device_metrics
 from ..io.checkpoint import copy_best, load_checkpoint, save_checkpoint
 from ..models import build_model
 from ..report.logger import Logger
-from ..utils import to_numpy_tree
 from .optim import Scheduler, make_optimizer, set_learning_rate
 from .state import (GANTrainState, TrainState, make_eval_step,
                     make_gan_train_step, make_train_step, merge_variables,

@@ -15,9 +15,7 @@ src/train_gan.py:222-262) onto optax:
 from __future__ import annotations
 
 import math
-from typing import Any
 
-import jax
 import jax.numpy as jnp
 import optax
 

@@ -17,8 +17,7 @@ reference DataParallel at src/train_vae.py:72-73, but scaling over ICI).
 from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
-from functools import partial
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp
