@@ -135,6 +135,9 @@ def process_control(cfg: dict) -> dict:
             "L": 3 if res == 32 else 5,
             "affine": True,
             "conv_lu": True,
+            # scan one flow body over K-stacked params: ~K-fold smaller
+            # traces/compiles, identical semantics
+            "scan_flows": True,
         }
     cfg["classifier"] = {"hidden_size": [8, 16, 32, 64]}
     if "batch_size" not in cfg or cfg.get("derive_batch_size", True):

@@ -49,11 +49,13 @@ def build_model(cfg: dict, model_name: str | None = None):
     if name == "mcglow":
         p = cfg["glow"]
         return MCGlow(shape, p["hidden_size"], p["K"], p["L"], p["affine"],
-                      p["conv_lu"], num_mode, rate)
+                      p["conv_lu"], num_mode, rate,
+                      scan_flows=p.get("scan_flows", True))
     if name == "cglow":
         p = cfg["glow"]
         return CGlow(shape, p["hidden_size"], p["K"], p["L"], p["affine"],
-                     p["conv_lu"], num_mode)
+                     p["conv_lu"], num_mode,
+                     scan_flows=p.get("scan_flows", True))
     if name == "mcpixelcnn":
         p = cfg["pixelcnn"]
         return MCPixelCNN(p["num_embedding"], p["hidden_size"], p["num_layer"],

@@ -276,6 +276,40 @@ def unsqueeze2(x):
     return x.reshape(b, h * 2, w * 2, c)
 
 
+class _FlowBody(nn.Module):
+    """One flow wrapped for ``nn.scan``: methods take/return (carry, None).
+
+    The K flows of a block are structurally identical, so scanning one body
+    over K-stacked parameters compiles one flow instead of K — the canonical
+    TPU-first treatment of repeated blocks (cuts Glow trace/compile ~K-fold).
+    """
+
+    input_size: int
+    hidden_size: int
+    affine: bool
+    conv_lu: bool
+    num_mode: int | None
+    controller_rate: float | None
+
+    def setup(self):
+        self.flow = Flow(self.input_size, self.hidden_size, self.affine,
+                         self.conv_lu, self.num_mode, self.controller_rate)
+
+    def fwd(self, carry, _):
+        x, logdet, indicator = carry
+        out, det = self.flow(x, indicator)
+        return (out, logdet + det, indicator), None
+
+    def ddi_fwd(self, carry, _):
+        x, logdet, indicator = carry
+        out, det = self.flow(x, indicator, ddi=True)
+        return (out, logdet + det, indicator), None
+
+    def rev(self, carry, _):
+        y, indicator = carry
+        return (self.flow.reverse(y, indicator), indicator), None
+
+
 class Block(nn.Module):
     """Squeeze + K flows + split prior (reference mcglow.py:204-265)."""
 
@@ -288,14 +322,30 @@ class Block(nn.Module):
     num_mode: int | None = None
     controller_rate: float | None = None
     cond_prior: bool = False  # CGlow: one-hot embedding added to final prior
+    scan_flows: bool = False  # scan one flow body over K-stacked params
 
     def setup(self):
         sq = self.input_size * 4
-        self.flows = [
-            Flow(sq, self.hidden_size, self.affine, self.conv_lu,
-                 self.num_mode, self.controller_rate, name=f"flow_{i}")
-            for i in range(self.K)
-        ]
+        if self.scan_flows:
+            common = dict(
+                variable_axes={"params": 0, "codebook": 0, "glow_const": 0},
+                split_rngs={"params": True},
+                length=self.K,
+            )
+            Scanned = nn.scan(_FlowBody, methods={
+                "fwd": dict(common),
+                "ddi_fwd": dict(common),
+                "rev": dict(common, reverse=True),  # flows applied K-1..0
+            })
+            self.flow_stack = Scanned(sq, self.hidden_size, self.affine,
+                                      self.conv_lu, self.num_mode,
+                                      self.controller_rate, name="flows")
+        else:
+            self.flows = [
+                Flow(sq, self.hidden_size, self.affine, self.conv_lu,
+                     self.num_mode, self.controller_rate, name=f"flow_{i}")
+                for i in range(self.K)
+            ]
         if self.split:
             self.prior = ZeroConv2d(self.input_size * 4)
         else:
@@ -313,10 +363,15 @@ class Block(nn.Module):
     def __call__(self, x, indicator, ddi: bool = False):
         b = x.shape[0]
         out = squeeze2(x)
-        logdet = jnp.zeros((), jnp.float32)
-        for flow in self.flows:
-            out, det = flow(out, indicator, ddi=ddi)
-            logdet = logdet + det
+        if self.scan_flows:
+            method = self.flow_stack.ddi_fwd if ddi else self.flow_stack.fwd
+            (out, logdet, _), _ = method(
+                (out, jnp.zeros((b,), jnp.float32), indicator), None)
+        else:
+            logdet = jnp.zeros((), jnp.float32)
+            for flow in self.flows:
+                out, det = flow(out, indicator, ddi=ddi)
+                logdet = logdet + det
         if self.split:
             out, z_new = jnp.split(out, 2, axis=-1)
             mean, log_sd = jnp.split(self.prior(out), 2, axis=-1)
@@ -342,8 +397,11 @@ class Block(nn.Module):
                 h = self._prior_h(y, indicator)
                 mean, log_sd = jnp.split(h, 2, axis=-1)
                 x = gaussian_sample(eps, mean, log_sd)
-        for flow in self.flows[::-1]:
-            x = flow.reverse(x, indicator)
+        if self.scan_flows:
+            (x, _), _ = self.flow_stack.rev((x, indicator), None)
+        else:
+            for flow in self.flows[::-1]:
+                x = flow.reverse(x, indicator)
         return unsqueeze2(x)
 
 
@@ -417,6 +475,7 @@ class MCGlow(_GlowBase):
     conv_lu: bool = True
     num_mode: int = 10
     controller_rate: float = 0.5
+    scan_flows: bool = False
 
     def setup(self):
         blocks = []
@@ -424,10 +483,11 @@ class MCGlow(_GlowBase):
         for i in range(self.L - 1):
             blocks.append(Block(c, self.hidden_size, self.K, True, self.affine,
                                 self.conv_lu, self.num_mode, self.controller_rate,
-                                name=f"block_{i}"))
+                                scan_flows=self.scan_flows, name=f"block_{i}"))
             c *= 2
         blocks.append(Block(c, self.hidden_size, self.K, False, self.affine,
                             self.conv_lu, self.num_mode, self.controller_rate,
+                            scan_flows=self.scan_flows,
                             name=f"block_{self.L - 1}"))
         self.blocks = blocks
 
@@ -444,15 +504,18 @@ class CGlow(_GlowBase):
     affine: bool = True
     conv_lu: bool = True
     num_mode: int = 10
+    scan_flows: bool = False
 
     def setup(self):
         blocks = []
         c = self.data_shape[-1]
         for i in range(self.L - 1):
             blocks.append(Block(c, self.hidden_size, self.K, True, self.affine,
-                                self.conv_lu, None, None, name=f"block_{i}"))
+                                self.conv_lu, None, None,
+                                scan_flows=self.scan_flows, name=f"block_{i}"))
             c *= 2
         blocks.append(Block(c, self.hidden_size, self.K, False, self.affine,
                             self.conv_lu, None, None, cond_prior=True,
+                            scan_flows=self.scan_flows,
                             name=f"block_{self.L - 1}"))
         self.blocks = blocks

@@ -67,6 +67,13 @@ def create(variables, classes_size: int, rng_seed: int = 0):
     def transform(path, leaf):
         if _is_codebook(path):
             counter[0] += 1
+            if leaf.ndim == 3:  # scanned flows: [K, num_mode, C]
+                base = counter[0] * 1000
+                return jnp.stack([
+                    make_codebook(rng_seed + base + i, classes_size,
+                                  leaf.shape[-1], 0.5)
+                    for i in range(leaf.shape[0])
+                ])
             return make_codebook(rng_seed + counter[0], classes_size,
                                  leaf.shape[-1], 0.5)
         axis = _embedding_axis(path)
@@ -82,8 +89,13 @@ def create(variables, classes_size: int, rng_seed: int = 0):
 
 
 def transit_codebook(codebook, root: int, alpha: float):
-    """Crossover toward the root mask (reference models/utils.py:101-109)."""
+    """Crossover toward the root mask (reference models/utils.py:101-109).
+
+    Accepts ``[num_mode, C]`` or scanned-stacked ``[K, num_mode, C]``.
+    """
     cb = np.array(codebook)
+    if cb.ndim == 3:
+        return jnp.stack([transit_codebook(c, root, alpha) for c in cb])
     root_code = cb[root].copy()
     cross = int(round((1 - alpha) * cb.shape[1]))
     cb[:, :cross] = root_code[:cross]

@@ -49,8 +49,11 @@ def make_tiny_cfg(model_name: str, data_name: str = "Synthetic",
     cfg["gan"] = {"latent_size": 16, "generator_hidden_size": [16, 16, 16, 16],
                   "discriminator_hidden_size": [16, 16, 16, 16],
                   "embedding_size": 8}
+    # scan_flows=False here: XLA:CPU compiles grad-through-scan pathologically
+    # slowly (the TPU path with scan is validated separately; see
+    # tests/test_glow_scan.py for the scan-path unit tests, which run eagerly)
     cfg["glow"] = {"hidden_size": 16, "K": 2, "L": 3, "affine": True,
-                   "conv_lu": True}
+                   "conv_lu": True, "scan_flows": False}
     cfg["vqvae"] = {"hidden_size": [16, 16], "num_res_block": 1,
                     "embedding_size": 8, "num_embedding": 32,
                     "vq_commit": 0.25}
