@@ -184,7 +184,8 @@ class Experiment:
                               "discriminator": Scheduler(cfg, go["lr"]["discriminator"])}
             step = make_gan_train_step(self.model, self.g_opt, self.d_opt,
                                        d_iter=go["iter"]["discriminator"],
-                                       loss_type=cfg["loss_type"])
+                                       loss_type=cfg["loss_type"],
+                                       unroll=cfg.get("gan_scan_unroll", 1))
             self.train_step = jax.jit(step, donate_argnums=0)
             self.generate_fn = jax.jit(
                 lambda vars_, C, z: self.model.apply(vars_, C, z, False,

@@ -229,10 +229,21 @@ def make_gan_train_step(model, g_opt, d_opt, d_iter: int = 5,
             d_params = optax.apply_updates(d_params, updates)
             return (d_params, d_opt_state, new_state, rng), d_loss
 
-        (d_params, d_opt_state, state, rng), d_losses = jax.lax.scan(
-            d_substep, (ts.d_params, ts.d_opt_state, ts.state, ts.rng),
-            None, length=d_iter, unroll=unroll,
-        )
+        if unroll >= d_iter:
+            # trace-level unroll: avoids grad-through-scan entirely (XLA:CPU
+            # compiles that pathologically slowly; TPU production keeps scan)
+            carry = (ts.d_params, ts.d_opt_state, ts.state, ts.rng)
+            losses = []
+            for _ in range(d_iter):
+                carry, dl = d_substep(carry, None)
+                losses.append(dl)
+            d_params, d_opt_state, state, rng = carry
+            d_losses = jnp.stack(losses)
+        else:
+            (d_params, d_opt_state, state, rng), d_losses = jax.lax.scan(
+                d_substep, (ts.d_params, ts.d_opt_state, ts.state, ts.rng),
+                None, length=d_iter, unroll=unroll,
+            )
 
         rng, zkey = jax.random.split(rng)
         z = jax.random.normal(zkey, (B, latent))

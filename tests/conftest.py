@@ -10,7 +10,12 @@ import os
 import sys
 
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    # opt level 0: XLA:CPU single-core compiles of the fused train graphs
+    # drop from ~15 min to <1 min (measured on the GAN step); tiny-model
+    # execution speed is irrelevant for correctness tests
+    + " --xla_backend_optimization_level=0"
 )
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")  # silence XLA AOT-cache logs
 
@@ -40,6 +45,9 @@ def make_tiny_cfg(model_name: str, data_name: str = "Synthetic",
         num_epochs=1, derive_batch_size=False,
         batch_size={"train": 16, "test": 16}, log_interval=1.0,
         limit_train_batches=4, limit_eval_batches=3,
+        # fully unroll the D scan: XLA:CPU compiles grad-through-scan
+        # pathologically slowly (production TPU path keeps the scan)
+        d_iter=2, gan_scan_unroll=2,
     ))
     cfg.update(overrides)
     cfg = process_control(cfg)
