@@ -95,6 +95,17 @@ def process_control(cfg: dict) -> dict:
     cfg["generate_per_mode"] = per_mode
     res = shape[0]
 
+    if not cfg.get("derive_model_params", True):
+        # caller supplied explicit model hyperparameter dicts (tests use tiny
+        # models); keep them instead of re-deriving the reference sizes
+        cfg.setdefault("classifier", {"hidden_size": [8, 16, 32, 64]})
+        if "batch_size" not in cfg or cfg.get("derive_batch_size", True):
+            cfg["batch_size"] = (
+                {"train": 128, "test": 512} if res == 32
+                else {"train": 32, "test": 128}
+            )
+        return cfg
+
     if cfg.get("ae_name") == "vqvae":
         cfg["vqvae"] = {
             "hidden_size": [128, 128] if res == 32 else [128, 128, 128, 128],

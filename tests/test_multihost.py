@@ -39,8 +39,10 @@ def test_gan_d_iter_knob():
     from mcgm_tpu.train.loop import apply_family_overrides
     from mcgm_tpu.config import process_control
 
-    cfg = make_tiny_cfg("mcgan", d_iter=2)
+    cfg = make_tiny_cfg("mcgan", d_iter=3)
     cfg = apply_family_overrides(process_control(cfg))
-    assert cfg["gan_opt"]["iter"]["discriminator"] == 2
-    cfg2 = apply_family_overrides(process_control(make_tiny_cfg("mcgan")))
+    assert cfg["gan_opt"]["iter"]["discriminator"] == 3
+    cfg2 = make_tiny_cfg("mcgan")
+    cfg2.pop("d_iter", None)  # production default when the knob is absent
+    cfg2 = apply_family_overrides(process_control(cfg2))
     assert cfg2["gan_opt"]["iter"]["discriminator"] == 5
