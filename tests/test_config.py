@@ -65,6 +65,27 @@ def test_parse_cfg_overrides_and_control():
     assert cfg["control"] == {"controller_rate": "0.5"}
 
 
+def test_extended_datasets_in_control():
+    for name, ch in (("EMNIST", 1), ("SVHN", 3), ("FashionMNIST", 1)):
+        cfg = apply_control_name(load_config(), "0.5")
+        cfg.update(data_name=name, model_name="mcvae")
+        cfg = process_control(cfg)
+        assert cfg["data_shape"] == [32, 32, ch]
+
+
+def test_derive_model_params_guard():
+    """Explicit model dicts survive re-derivation when the flag is off."""
+    cfg = apply_control_name(load_config(), "0.5")
+    cfg.update(data_name="CIFAR10", model_name="mcvae",
+               derive_model_params=False)
+    cfg["vae"] = {"hidden_size": [4], "latent_size": 2, "num_res_block": 0,
+                  "embedding_size": 2}
+    out = process_control(cfg)
+    assert out["vae"]["hidden_size"] == [4]
+    out2 = process_control(out)  # idempotent under repeated derivation
+    assert out2["vae"]["hidden_size"] == [4]
+
+
 def test_glow_depth_by_resolution():
     cfg = apply_control_name(load_config(), "0.5")
     cfg.update(data_name="CelebA-HQ", model_name="mcglow")
