@@ -51,8 +51,10 @@ def nll(logits, target) -> float:
 
 
 def psnr(output, target, max_val: float = 1.0) -> float:
-    m = jnp.mean((jnp.asarray(output, jnp.float64) - jnp.asarray(target, jnp.float64)) ** 2)
-    return float(20 * math.log10(max_val) - 10 * jnp.log10(m))
+    # accumulate on host in float64 (jax f64 is disabled by default; the
+    # reference computes PSNR in torch float64 — metrics.py:36-40)
+    m = np.mean((np.asarray(output, np.float64) - np.asarray(target, np.float64)) ** 2)
+    return float(20 * math.log10(max_val) - 10 * math.log10(m))
 
 
 def accuracy(logits, target, topk: int = 1) -> float:

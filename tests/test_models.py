@@ -78,6 +78,25 @@ def test_classifier_feature_dim():
     assert f.shape == (4, cfg["classifier"]["hidden_size"][-1] * 4 * 4)
 
 
+def test_128px_vae_and_glow_build():
+    """High-res config path (reference utils.py:118-120: CelebA-HQ/ImageNet
+    shapes) — encoder depth 5 lands on a 4x4 grid; glow L=5."""
+    from mcgm_tpu.models.vae import MCVAE
+    from mcgm_tpu.models.glow import MCGlow
+
+    img = jnp.zeros((1, 128, 128, 3))
+    lbl = jnp.zeros((1,), jnp.int32)
+    m = MCVAE((128, 128, 3), (4, 4, 4, 4, 4), 8, 1, 4, 0.5)
+    v = m.init({"params": K, "reparam": K}, {"img": img, "label": lbl}, train=True)
+    out, _ = m.apply(v, {"img": img, "label": lbl}, train=True,
+                     rngs={"reparam": K}, mutable=["batch_stats"])
+    assert out["img"].shape == (1, 128, 128, 3)
+    g = MCGlow((128, 128, 3), hidden_size=8, K=1, L=5, num_mode=4,
+               controller_rate=0.5, scan_flows=False)
+    vg = g.init({"params": K, "noise": K}, {"img": img, "label": lbl}, train=True)
+    assert g.make_z_shapes()[-1] == (4, 4, 192)
+
+
 def test_mc_vs_c_param_structure():
     """mc models carry codebooks; c models carry class embeddings."""
     cfg = make_tiny_cfg("mcvae"); cfg["classes_size"] = 10
