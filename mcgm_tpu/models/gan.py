@@ -22,7 +22,7 @@ import flax.linen as nn
 
 from ..ops.controller import MultimodalController, one_hot
 from ..ops.layers import (
-    BatchNorm, Conv, Dense, SNConv, SNDense,
+    BatchNorm, Conv, Dense, SNConv, SNConvPool, SNDense, UpsampledConv,
     avg_pool, global_sum_pool, upsample_nearest, xavier_uniform,
 )
 
@@ -44,21 +44,32 @@ class _MCGenResBlock(nn.Module):
         mc_2 = MultimodalController(self.output_size, self.num_mode, self.controller_rate, name="mc_2")
         h = BatchNorm()(x, use_running_average=not train)
         h = nn.relu(h)
-        if self.stride > 1:
-            h = upsample_nearest(h, self.stride)
-        h = mc_1(h, indicator)
-        h = Conv(self.output_size, 3, 1, 1, **_xconv)(h)
+        # MC gating is per-channel, so it commutes with nearest-upsample:
+        # gate at LOW res and fuse the upsample into the conv (UpsampledConv,
+        # 2.25x fewer MACs, no materialized 4x tensor). Exact rewrite of the
+        # reference Upsample->mc->Conv pipeline (mcgan.py:14-19).
+        if self.stride == 2:
+            h = mc_1(h, indicator)
+            h = UpsampledConv(self.output_size, name="Conv_0", **_xconv)(h)
+        else:
+            if self.stride > 1:
+                h = upsample_nearest(h, self.stride)
+            h = mc_1(h, indicator)
+            h = Conv(self.output_size, 3, 1, 1, name="Conv_0", **_xconv)(h)
         h = BatchNorm()(h, use_running_average=not train)
         h = nn.relu(h)
         h = mc_2(h, indicator)
-        h = Conv(self.output_size, 3, 1, 1, **_xconv)(h)
+        h = Conv(self.output_size, 3, 1, 1, name="Conv_1", **_xconv)(h)
         if self.stride > 1:
-            sc = upsample_nearest(x, self.stride)
-            sc = mc_1(sc, indicator)
-            sc = Conv(self.output_size, 1, 1, 0, **_xconv)(sc)
+            # 1x1 conv and MC gate both commute with nearest-upsample:
+            # compute at LOW res (4x fewer MACs), upsample last (fused into
+            # the residual add by XLA).
+            sc = mc_1(x, indicator)
+            sc = Conv(self.output_size, 1, 1, 0, name="Conv_2", **_xconv)(sc)
+            sc = upsample_nearest(sc, self.stride)
         elif self.input_size != self.output_size:
             sc = mc_1(x, indicator)
-            sc = Conv(self.output_size, 1, 1, 0, **_xconv)(sc)
+            sc = Conv(self.output_size, 1, 1, 0, name="Conv_2", **_xconv)(sc)
         else:
             sc = x
         return h + sc
@@ -75,17 +86,20 @@ class _CGenResBlock(nn.Module):
     def __call__(self, x, train: bool):
         h = BatchNorm()(x, use_running_average=not train)
         h = nn.relu(h)
-        if self.stride > 1:
-            h = upsample_nearest(h, self.stride)
-        h = Conv(self.output_size, 3, 1, 1, **_xconv)(h)
+        if self.stride == 2:
+            h = UpsampledConv(self.output_size, name="Conv_0", **_xconv)(h)
+        else:
+            if self.stride > 1:
+                h = upsample_nearest(h, self.stride)
+            h = Conv(self.output_size, 3, 1, 1, name="Conv_0", **_xconv)(h)
         h = BatchNorm()(h, use_running_average=not train)
         h = nn.relu(h)
-        h = Conv(self.output_size, 3, 1, 1, **_xconv)(h)
+        h = Conv(self.output_size, 3, 1, 1, name="Conv_1", **_xconv)(h)
         if self.stride > 1:
-            sc = upsample_nearest(x, self.stride)
-            sc = Conv(self.output_size, 1, 1, 0, **_xconv)(sc)
+            sc = Conv(self.output_size, 1, 1, 0, name="Conv_2", **_xconv)(x)
+            sc = upsample_nearest(sc, self.stride)
         elif self.input_size != self.output_size:
-            sc = Conv(self.output_size, 1, 1, 0, **_xconv)(x)
+            sc = Conv(self.output_size, 1, 1, 0, name="Conv_2", **_xconv)(x)
         else:
             sc = x
         return h + sc
@@ -147,13 +161,14 @@ class _MCFirstDisResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, indicator, train: bool):
         mc_1 = MultimodalController(self.output_size, self.num_mode, self.controller_rate, name="mc_1")
-        h = SNConv(self.output_size, 3, 1, 1)(x, update_stats=train)
+        h = SNConv(self.output_size, 3, 1, 1, name="SNConv_0")(x, update_stats=train)
         h = nn.relu(h)
         h = mc_1(h, indicator)
-        h = SNConv(self.output_size, 3, 1, 1)(h, update_stats=train)
-        h = avg_pool(h, 2)
-        sc = SNConv(self.output_size, 1, 1, 0)(x, update_stats=train)
-        sc = avg_pool(sc, 2)
+        # conv3x3 + avgpool folded into one stride-2 conv (2.25x fewer MACs);
+        # the 1x1 shortcut commutes with avgpool so it runs at LOW res.
+        h = SNConvPool(self.output_size, name="SNConv_1")(h, update_stats=train)
+        sc = avg_pool(x, 2)
+        sc = SNConv(self.output_size, 1, 1, 0, name="SNConv_2")(sc, update_stats=train)
         return h + sc
 
 
@@ -172,20 +187,22 @@ class _MCDisResBlock(nn.Module):
         mc_2 = MultimodalController(self.output_size, self.num_mode, self.controller_rate, name="mc_2")
         h = nn.relu(x)
         h = mc_1(h, indicator)
-        h = SNConv(self.output_size, 3, 1, 1)(h, update_stats=train)
+        h = SNConv(self.output_size, 3, 1, 1, name="SNConv_0")(h, update_stats=train)
         h = nn.relu(h)
         h = mc_2(h, indicator)
-        h = SNConv(self.output_size, 3, 1, 1)(h, update_stats=train)
         if self.stride > 1:
-            h = avg_pool(h, 2)
-            sc = mc_1(x, indicator)
-            sc = SNConv(self.output_size, 1, 1, 0)(sc, update_stats=train)
-            sc = avg_pool(sc, 2)
-        elif self.input_size != self.output_size:
-            sc = mc_1(x, indicator)
-            sc = SNConv(self.output_size, 1, 1, 0)(sc, update_stats=train)
+            # fold the trailing avgpool into the conv; the shortcut's MC gate
+            # and 1x1 conv both commute with avgpool -> pool first (4x less).
+            h = SNConvPool(self.output_size, name="SNConv_1")(h, update_stats=train)
+            sc = mc_1(avg_pool(x, 2), indicator)
+            sc = SNConv(self.output_size, 1, 1, 0, name="SNConv_2")(sc, update_stats=train)
         else:
-            sc = x
+            h = SNConv(self.output_size, 3, 1, 1, name="SNConv_1")(h, update_stats=train)
+            if self.input_size != self.output_size:
+                sc = mc_1(x, indicator)
+                sc = SNConv(self.output_size, 1, 1, 0, name="SNConv_2")(sc, update_stats=train)
+            else:
+                sc = x
         return h + sc
 
 
@@ -194,12 +211,11 @@ class _CFirstDisResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        h = SNConv(self.output_size, 3, 1, 1)(x, update_stats=train)
+        h = SNConv(self.output_size, 3, 1, 1, name="SNConv_0")(x, update_stats=train)
         h = nn.relu(h)
-        h = SNConv(self.output_size, 3, 1, 1)(h, update_stats=train)
-        h = avg_pool(h, 2)
-        sc = SNConv(self.output_size, 1, 1, 0)(x, update_stats=train)
-        sc = avg_pool(sc, 2)
+        h = SNConvPool(self.output_size, name="SNConv_1")(h, update_stats=train)
+        sc = avg_pool(x, 2)
+        sc = SNConv(self.output_size, 1, 1, 0, name="SNConv_2")(sc, update_stats=train)
         return h + sc
 
 
@@ -211,17 +227,18 @@ class _CDisResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         h = nn.relu(x)
-        h = SNConv(self.output_size, 3, 1, 1)(h, update_stats=train)
+        h = SNConv(self.output_size, 3, 1, 1, name="SNConv_0")(h, update_stats=train)
         h = nn.relu(h)
-        h = SNConv(self.output_size, 3, 1, 1)(h, update_stats=train)
         if self.stride > 1:
-            h = avg_pool(h, 2)
-            sc = SNConv(self.output_size, 1, 1, 0)(x, update_stats=train)
-            sc = avg_pool(sc, 2)
-        elif self.input_size != self.output_size:
-            sc = SNConv(self.output_size, 1, 1, 0)(x, update_stats=train)
+            h = SNConvPool(self.output_size, name="SNConv_1")(h, update_stats=train)
+            sc = avg_pool(x, 2)
+            sc = SNConv(self.output_size, 1, 1, 0, name="SNConv_2")(sc, update_stats=train)
         else:
-            sc = x
+            h = SNConv(self.output_size, 3, 1, 1, name="SNConv_1")(h, update_stats=train)
+            if self.input_size != self.output_size:
+                sc = SNConv(self.output_size, 1, 1, 0, name="SNConv_2")(x, update_stats=train)
+            else:
+                sc = x
         return h + sc
 
 

@@ -36,6 +36,23 @@ def set_compute_dtype(dtype):
     _COMPUTE_DTYPE[0] = dtype
 
 
+def resolve_compute_dtype(name: str | None):
+    """Map a config string to a compute dtype.
+
+    'auto' (the config.yml default) → bf16 on TPU backends, f32 elsewhere
+    (CPU bf16 is emulated and slower, and the test suite's golden tolerances
+    assume f32). Parameters and optimizer state are f32 either way — only
+    conv/matmul operands are cast (mixed-precision training).
+    """
+    if name in (None, "auto"):
+        return jnp.bfloat16 if jax.default_backend() in ("tpu", "axon") else None
+    if name in ("float32", "f32"):
+        return None
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise ValueError(f"unknown compute_dtype {name!r}")
+
+
 def _cast_compute(x, kernel):
     dt = _COMPUTE_DTYPE[0]
     if dt is None:
@@ -261,6 +278,113 @@ def _spectral_normalize(mod: nn.Module, kernel: jax.Array, update_stats: bool):
     u_used, v_used = jax.lax.stop_gradient(u_new), jax.lax.stop_gradient(v)
     sigma = jnp.einsum("i,ij,j->", u_used, mat, v_used)
     return kernel / sigma
+
+
+def _fold_up_axis(w: jax.Array, axis: int, phase: int) -> jax.Array:
+    """1-D factor of the nearest-up(2) + conv3(pad 1) fold along ``axis``.
+
+    With x̃[i] = x[i//2], y[o] = Σ_k W[k]·x̃[o+k-1] splits by output parity:
+      y[2m]   = W0·x[m-1] + (W1+W2)·x[m]     (phase 0: taps [W0, W1+W2])
+      y[2m+1] = (W0+W1)·x[m] + W2·x[m+1]     (phase 1: taps [W0+W1, W2])
+    """
+    w0, w1, w2 = jnp.split(w, 3, axis=axis)
+    if phase == 0:
+        return jnp.concatenate([w0, w1 + w2], axis=axis)
+    return jnp.concatenate([w0 + w1, w2], axis=axis)
+
+
+def upsampled_conv3x3(x: jax.Array, kernel: jax.Array,
+                      pref=None) -> jax.Array:
+    """``conv3x3(pad=1)(nearest_up2(x))`` without materializing the upsample.
+
+    Phase decomposition: the composite linear map splits into four dense
+    2x2-tap convs on the LOW-res input (one per output-pixel parity), whose
+    outputs interleave to the high-res result. Exact (same sums, re-
+    associated); 2.25x fewer MACs than conv at the upsampled resolution and
+    no HBM round-trip for the 4x-size upsampled tensor.
+    """
+    b, h, w, _ = x.shape
+    rows = []
+    for a in (0, 1):
+        cols = []
+        for bb in (0, 1):
+            k_ab = _fold_up_axis(_fold_up_axis(kernel, 0, a), 1, bb)
+            pad = [(1, 0) if a == 0 else (0, 1), (1, 0) if bb == 0 else (0, 1)]
+            y = jax.lax.conv_general_dilated(
+                x, k_ab, (1, 1), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=pref,
+            )
+            cols.append(y)
+        rows.append(jnp.stack(cols, axis=3))  # [B,h,w,2(b),C]
+    y = jnp.stack(rows, axis=2)  # [B,h,2(a),w,2(b),C]
+    return y.reshape(b, 2 * h, 2 * w, -1)
+
+
+class UpsampledConv(nn.Module):
+    """Fused nearest-up(2) + Conv(3x3, pad 1). Param-compatible with Conv
+    (same "kernel"/"bias" shapes) so it can transparently replace the
+    upsample->conv pair in generator blocks."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = torch_kernel_init
+    bias_init: Callable | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (3, 3, in_ch, self.features))
+        xc, kc = _cast_compute(x, kernel)
+        y = _cast_out(upsampled_conv3x3(xc, kc, pref=_pref()))
+        if self.use_bias:
+            binit = self.bias_init or torch_bias_init(in_ch * 9)
+            bias = self.param("bias", binit, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def _fold_pool_axis(w: jax.Array, axis: int) -> jax.Array:
+    """1-D factor of the conv3(pad 1) + avgpool(2) fold along ``axis``:
+    pooled y[m] = ½ Σ_{a∈{0,1}} Σ_k W[k]·x[2m+a+k-1] = Σ_u K[u]·x[2m+u-1]
+    with K = ½·[W0, W0+W1, W1+W2, W2] (4 taps, stride 2, pad 1)."""
+    w0, w1, w2 = jnp.split(w, 3, axis=axis)
+    return 0.5 * jnp.concatenate([w0, w0 + w1, w1 + w2, w2], axis=axis)
+
+
+def conv3x3_avgpool(x: jax.Array, kernel: jax.Array, pref=None) -> jax.Array:
+    """``avg_pool2(conv3x3(pad=1)(x))`` as ONE stride-2 conv with a folded
+    4x4 kernel — exact, 2.25x fewer MACs, no intermediate full-res tensor."""
+    k = _fold_pool_axis(_fold_pool_axis(kernel, 0), 1)
+    return jax.lax.conv_general_dilated(
+        x, k, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=pref,
+    )
+
+
+class SNConvPool(nn.Module):
+    """Fused spectral-normalized Conv(3x3, pad 1) + avg_pool(2).
+
+    Spectral norm is computed on the ORIGINAL 3x3 kernel (parity with torch
+    SN on the conv weight); the normalized kernel is then folded with the
+    pooling. Param/variable-compatible with SNConv."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = xavier_uniform
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (3, 3, in_ch, self.features))
+        kernel = _spectral_normalize(self, kernel, update_stats)
+        xc, kc = _cast_compute(x, kernel)
+        y = _cast_out(conv3x3_avgpool(xc, kc, pref=_pref()))
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_init(in_ch * 9), (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 def upsample_nearest(x: jax.Array, scale: int) -> jax.Array:

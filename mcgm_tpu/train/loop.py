@@ -114,6 +114,11 @@ class Experiment:
     # ------------------------------------------------------------- setup
     def setup(self):
         cfg = self.cfg
+        # production mixed precision: bf16 conv/matmul operands on TPU
+        # (cfg['compute_dtype']: auto|float32|bfloat16), f32 master params.
+        from ..ops.layers import resolve_compute_dtype, set_compute_dtype
+
+        set_compute_dtype(resolve_compute_dtype(cfg.get("compute_dtype", "auto")))
         self.rng = jax.random.PRNGKey(self.seed)
         dataset = fetch_dataset(cfg["data_name"], cfg["subset"],
                                 cfg.get("data_dir", "./data"))

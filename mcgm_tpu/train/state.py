@@ -168,6 +168,8 @@ def make_gan_train_step(model, g_opt, d_opt, d_iter: int = 5,
                 **state}
 
     def _d_losses(d_real, d_fake):
+        # losses/metrics in f32 regardless of compute dtype
+        d_real, d_fake = d_real.astype(jnp.float32), d_fake.astype(jnp.float32)
         if loss_type == "Hinge":
             return jnp.mean(jax.nn.relu(1.0 - d_real) + jax.nn.relu(1.0 + d_fake))
         # BCE with logits
@@ -177,6 +179,7 @@ def make_gan_train_step(model, g_opt, d_opt, d_iter: int = 5,
         )
 
     def _g_loss(d_fake):
+        d_fake = d_fake.astype(jnp.float32)
         if loss_type == "Hinge":
             return -jnp.mean(d_fake)
         return jnp.mean(
@@ -203,7 +206,10 @@ def make_gan_train_step(model, g_opt, d_opt, d_iter: int = 5,
                 fake = jax.lax.stop_gradient(fake)
                 variables = _merge(ts.g_params, dp, mut1)
                 if fuse_d_pass:
-                    both = jnp.concatenate([img, fake], axis=0)
+                    # match the real batch to the generator's compute dtype:
+                    # otherwise XLA promotes the whole fake tensor to f32 for
+                    # the concat (a full-size materialization + layout change)
+                    both = jnp.concatenate([img.astype(fake.dtype), fake], axis=0)
                     labels2 = jnp.concatenate([label, label], axis=0)
                     d_out, mut_last = model.apply(
                         variables, both, labels2, True, method="discriminate",

@@ -82,3 +82,70 @@ def test_spectral_norm_no_update_in_eval():
     _, mut = m.apply(v, x, update_stats=False, mutable=["spectral"])
     assert np.array_equal(np.asarray(mut["spectral"]["u"]),
                           np.asarray(v["spectral"]["u"]))
+
+
+def test_upsampled_conv_matches_naive_composition():
+    """UpsampledConv == Conv(3x3,pad1) on nearest-up(2) input, same params
+    (the phase-decomposed fold must be exact up to float reassociation)."""
+    from mcgm_tpu.ops.layers import UpsampledConv
+
+    x = jax.random.normal(K, (2, 5, 7, 6))
+    fused = UpsampledConv(4)
+    v = fused.init(K, x)
+    got = fused.apply(v, x)
+    naive = Conv(4, 3, 1, 1).apply(v, upsample_nearest(x, 2))
+    assert got.shape == (2, 10, 14, 4)
+    assert np.allclose(np.asarray(got), np.asarray(naive), atol=1e-5)
+
+
+def test_snconvpool_matches_naive_composition():
+    """SNConvPool == avg_pool(SNConv(3x3,pad1)(x)), same params/spectral u."""
+    from mcgm_tpu.ops.layers import SNConvPool
+
+    x = jax.random.normal(K, (2, 8, 8, 6))
+    fused = SNConvPool(4)
+    v = fused.init(K, x)
+    got, mut = fused.apply(v, x, update_stats=True, mutable=["spectral"])
+    naive, mut_naive = SNConv(4, 3, 1, 1).apply(v, x, update_stats=True,
+                                                mutable=["spectral"])
+    naive = avg_pool(naive, 2)
+    assert got.shape == (2, 4, 4, 4)
+    assert np.allclose(np.asarray(got), np.asarray(naive), atol=1e-5)
+    # spectral-norm power iteration runs on the ORIGINAL 3x3 kernel -> the
+    # updated u vectors must agree between fused and naive paths
+    assert np.allclose(np.asarray(mut["spectral"]["u"]),
+                       np.asarray(mut_naive["spectral"]["u"]), atol=1e-6)
+
+
+def test_upsampled_conv_gradients_match_naive():
+    """Autodiff through the fold equals autodiff through the composition."""
+    from mcgm_tpu.ops.layers import UpsampledConv
+
+    x = jax.random.normal(K, (2, 4, 4, 3))
+    fused = UpsampledConv(4)
+    v = fused.init(K, x)
+
+    def loss_fused(p):
+        return jnp.sum(fused.apply(p, x) ** 2)
+
+    def loss_naive(p):
+        return jnp.sum(Conv(4, 3, 1, 1).apply(p, upsample_nearest(x, 2)) ** 2)
+
+    g1 = jax.grad(loss_fused)(v)
+    g2 = jax.grad(loss_naive)(v)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_resolve_compute_dtype():
+    from mcgm_tpu.ops.layers import resolve_compute_dtype
+
+    # tests run on CPU: 'auto' must resolve to full f32 there
+    assert resolve_compute_dtype("auto") is None
+    assert resolve_compute_dtype(None) is None
+    assert resolve_compute_dtype("float32") is None
+    assert resolve_compute_dtype("bfloat16") == jnp.bfloat16
+    import pytest
+
+    with pytest.raises(ValueError):
+        resolve_compute_dtype("fp8")

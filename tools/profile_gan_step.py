@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Capture a jax.profiler trace of the fused MCGAN train step on the TPU and
+print the top device-time consumers.
+
+Usage: python tools/profile_gan_step.py [--fp32] [--steps 10] [--outdir /tmp/mcgm_trace]
+
+Parses the generated .trace.json.gz (perfetto/chrome trace) and aggregates
+event durations on the device tracks so the hot ops are visible without
+TensorBoard.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+from collections import defaultdict
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/mcgm_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def build_step():
+    from mcgm_tpu.models.gan import MCGAN
+    from mcgm_tpu.train.optim import make_optimizer
+    from mcgm_tpu.train.state import (GANTrainState, jit_init,
+                                      make_gan_train_step, split_variables)
+
+    model = MCGAN((32, 32, 3), 128, (256,) * 4, (128,) * 4, num_mode=10,
+                  controller_rate=0.5, cifar_style=True)
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "img": jax.random.uniform(rng, (128, 32, 32, 3), minval=-1, maxval=1),
+        "label": jnp.arange(128, dtype=jnp.int32) % 10,
+    }
+    init_batch = {"img": batch["img"][:2], "label": batch["label"][:2]}
+    variables = jit_init(model, {"params": rng, "z": rng}, init_batch, train=True)
+    variables = jax.device_put(variables, jax.devices()[0])
+    params, state = split_variables(variables)
+    cfg = {"optimizer_name": "Adam", "lr": 2e-4, "weight_decay": 0}
+    g_opt = make_optimizer(cfg, 2e-4, (0.5, 0.999))
+    d_opt = make_optimizer(cfg, 2e-4, (0.5, 0.999))
+    ts = GANTrainState(
+        g_params=params["generator"], d_params=params["discriminator"],
+        state=state,
+        g_opt_state=g_opt.init(params["generator"]),
+        d_opt_state=d_opt.init(params["discriminator"]),
+        rng=jax.random.PRNGKey(1),
+    )
+    step = jax.jit(make_gan_train_step(model, g_opt, d_opt, d_iter=5))
+    return step, ts, batch
+
+
+def summarize_trace(outdir: str, top: int = 40):
+    paths = glob.glob(os.path.join(outdir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        print("no trace.json.gz found under", outdir)
+        return
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # Identify device (TPU) process ids and op-level threads ("XLA Ops").
+    pid_names, tid_names = {}, {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    dev_pids = {pid for pid, name in pid_names.items()
+                if "TPU" in name or "/device" in name.lower() or "Device" in name}
+    if not dev_pids:
+        dev_pids = set(pid_names)  # fall back: everything
+    op_tids = {k for k, name in tid_names.items()
+               if k[0] in dev_pids and "op" in name.lower()}
+    dur_by_name = defaultdict(float)
+    count_by_name = defaultdict(int)
+    total = 0.0
+    for e in events:
+        key = (e.get("pid"), e.get("tid"))
+        if e.get("ph") == "X" and "dur" in e and (
+                key in op_tids if op_tids else e.get("pid") in dev_pids):
+            name = e.get("name", "?")
+            dur_by_name[name] += e["dur"]
+            count_by_name[name] += 1
+            total += e["dur"]
+    print(f"trace: {path}")
+    print(f"device tracks: {[pid_names[p] for p in dev_pids]}")
+    print(f"op threads: {[tid_names[t] for t in op_tids]}")
+    print(f"{'us_total':>12} {'pct':>6} {'count':>6}  op")
+    for name, dur in sorted(dur_by_name.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{dur:12.0f} {100*dur/total:6.2f} {count_by_name[name]:6d}  {name[:110]}")
+    print(f"{total:12.0f} 100.00         TOTAL(device)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--outdir", default="/tmp/mcgm_trace")
+    ap.add_argument("--summarize-only", action="store_true")
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+
+    if args.summarize_only:
+        summarize_trace(args.outdir, args.top)
+        return
+
+    if not args.fp32:
+        from mcgm_tpu.ops.layers import set_compute_dtype
+
+        set_compute_dtype(jnp.bfloat16)
+    step, ts, batch = build_step()
+    for _ in range(3):
+        ts, m = step(ts, batch)
+    jax.block_until_ready(m)
+    with jax.profiler.trace(args.outdir):
+        for _ in range(args.steps):
+            ts, m = step(ts, batch)
+        jax.block_until_ready(m)
+    summarize_trace(args.outdir, args.top)
+
+
+if __name__ == "__main__":
+    main()
