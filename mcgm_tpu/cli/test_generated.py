@@ -78,6 +78,10 @@ def score_created(cfg: dict, tag: str):
 
 
 def main(kind: str, argv=None, **defaults):
+    # standalone scorer follows the official 10-split IS convention
+    # (reference metrics_tf/inception_score_tf.py:108-139); --is_splits 1
+    # reproduces the in-loop value
+    defaults.setdefault("is_splits", 10)
     cfg = parse_cfg(argv, **defaults)
     cfg = apply_family_overrides(process_control(cfg))
     for i in range(cfg.get("num_experiments", 1)):

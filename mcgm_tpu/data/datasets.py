@@ -1,0 +1,418 @@
+"""Datasets as packed arrays.
+
+The reference materializes each dataset as per-item PIL images decoded and
+transformed inside torch DataLoader workers
+(/root/reference/src/datasets/{mnist,cifar,coil,omniglot}.py,
+/root/reference/src/data.py:9-62). On TPU the input pipeline must feed a
+single accelerator at thousands of images/sec from a Python host, so the
+design here is different: every dataset is packed ONCE into a contiguous
+uint8 NHWC array at its final training resolution (resize happens at pack
+time, not per epoch), cached as an ``.npz`` under
+``{data_dir}/{name}/processed/``, and served by zero-copy slicing
+(:mod:`mcgm_tpu.data.loader`). Class taxonomies, split quirks and label
+orders match the reference:
+
+- MNIST / FashionMNIST: IDX files, 10 classes, bilinear resize 28->32
+  (reference applies transforms.Resize((32,32)) at load time, data.py:20).
+- EMNIST: all six taxonomies (byclass/bymerge/balanced/letters/digits/mnist),
+  images transposed as in the reference (mnist.py:118); ``subset`` selects
+  the taxonomy. Deviation: the raw 'letters' labels are 1-indexed; we shift
+  them to 0..25 so they are valid class ids (the reference keeps them raw,
+  which misindexes its own 37-name class list — documented bugfix).
+- CIFAR10/100: python pickle batches, native 32x32, label order as shipped.
+- COIL100: 100 objects x 72 views, 128->32; train and test are the SAME
+  split (reference coil.py:74-77 appends every file to both) — preserved.
+  Class order is the lexicographic sort of 'obj{k}' names (coil.py:79).
+- Omniglot: background+evaluation alphabets merged, train==test
+  (reference omniglot.py:78-83), class = alphabet/character, 105->32.
+- SVHN: cropped-digits .mat files, labels 10 -> 0 (standard convention).
+- Synthetic / SyntheticGray: deterministic in-memory class-blob data for
+  tests and benchmarks (no reference counterpart; replaces network access).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import struct
+
+import numpy as np
+
+from .download import ensure_raw, extract_file
+
+_RES = 32  # every reference benchmark runs at 32x32 (src/utils.py:107-126)
+
+
+# --------------------------------------------------------------------------
+# container
+# --------------------------------------------------------------------------
+class ArrayDataset:
+    """A split: packed uint8 NHWC images + int32 labels + taxonomy."""
+
+    def __init__(self, img: np.ndarray, labels: np.ndarray,
+                 num_classes: int, classes: list[str] | None = None,
+                 data_name: str = ""):
+        assert img.ndim == 4 and img.dtype == np.uint8, img.shape
+        self.img = img
+        self.labels = np.asarray(labels, np.int32)
+        self.num_classes = int(num_classes)
+        self.classes = classes
+        self.data_name = data_name
+
+    def __len__(self) -> int:
+        return len(self.img)
+
+    def __getitem__(self, i):
+        return {"img": self.img[i], "label": self.labels[i]}
+
+    @property
+    def classes_counts(self) -> np.ndarray:
+        """Per-class sample counts (reference make_classes_counts)."""
+        return np.bincount(self.labels, minlength=self.num_classes)
+
+    def __repr__(self):
+        return (f"ArrayDataset({self.data_name}, n={len(self)}, "
+                f"shape={tuple(self.img.shape[1:])}, "
+                f"classes={self.num_classes})")
+
+
+def process_dataset(dataset: ArrayDataset, cfg: dict) -> dict:
+    """Copy dataset facts into cfg (reference utils.py:99-101)."""
+    cfg = dict(cfg)
+    cfg["classes_size"] = dataset.num_classes
+    cfg["data_shape"] = list(dataset.img.shape[1:])
+    return cfg
+
+
+# --------------------------------------------------------------------------
+# raw-format parsers
+# --------------------------------------------------------------------------
+def read_idx(path: str) -> np.ndarray:
+    """Parse an IDX (MNIST-family) file: images (magic 2051) or labels (2049)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, = struct.unpack(">i", data[:4])
+    if magic == 2051:
+        n, rows, cols = struct.unpack(">iii", data[4:16])
+        return np.frombuffer(data, np.uint8, offset=16).reshape(n, rows, cols)
+    if magic == 2049:
+        n, = struct.unpack(">i", data[4:8])
+        return np.frombuffer(data, np.uint8, offset=8).astype(np.int64)
+    raise ValueError(f"not an IDX file: {path} (magic {magic})")
+
+
+def _resize_batch(img: np.ndarray, res: int = _RES) -> np.ndarray:
+    """Bilinear-resize a uint8 [N,H,W(,C)] stack via PIL (pack-time only)."""
+    if img.shape[1] == res and img.shape[2] == res:
+        if img.ndim == 3:
+            img = img[..., None]
+        return np.ascontiguousarray(img)
+    from PIL import Image
+
+    out = np.empty((len(img), res, res) + img.shape[3:], np.uint8)
+    for i in range(len(img)):
+        out[i] = np.asarray(Image.fromarray(img[i]).resize((res, res),
+                                                           Image.BILINEAR))
+    if out.ndim == 3:
+        out = out[..., None]
+    return out
+
+
+# --------------------------------------------------------------------------
+# cache layer
+# --------------------------------------------------------------------------
+def _processed_path(root: str, split: str, subset: str) -> str:
+    tag = split if subset in ("", "label") else f"{split}_{subset}"
+    return os.path.join(root, "processed", f"{tag}.npz")
+
+
+def _save_processed(root: str, split: str, subset: str, img, labels,
+                    classes) -> None:
+    os.makedirs(os.path.join(root, "processed"), exist_ok=True)
+    meta = json.dumps({"classes": classes})
+    np.savez_compressed(_processed_path(root, split, subset),
+                        img=img, labels=np.asarray(labels, np.int32),
+                        meta=np.frombuffer(meta.encode(), np.uint8))
+
+
+def _load_processed(root: str, split: str, subset: str,
+                    data_name: str) -> ArrayDataset | None:
+    path = _processed_path(root, split, subset)
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        img, labels = z["img"], z["labels"]
+        meta = json.loads(bytes(z["meta"]).decode()) if "meta" in z else {}
+    classes = meta.get("classes")
+    n_cls = len(classes) if classes else int(labels.max()) + 1
+    return ArrayDataset(img, labels, n_cls, classes, data_name)
+
+
+# --------------------------------------------------------------------------
+# per-dataset packers: raw files -> {(split, subset): (img, labels, classes)}
+# --------------------------------------------------------------------------
+_MNIST_FILES = [
+    ("http://yann.lecun.com/exdb/mnist/train-images-idx3-ubyte.gz",
+     "f68b3c2dcbeaaa9fbdd348bbdeb94873"),
+    ("http://yann.lecun.com/exdb/mnist/t10k-images-idx3-ubyte.gz",
+     "9fb629c4189551a2d022fa330f9573f3"),
+    ("http://yann.lecun.com/exdb/mnist/train-labels-idx1-ubyte.gz",
+     "d53e105ee54ea40749a09fcbcd1e9432"),
+    ("http://yann.lecun.com/exdb/mnist/t10k-labels-idx1-ubyte.gz",
+     "ec29112dd5afa0611ce80d1b7f02629c"),
+]
+
+_FASHION_FILES = [
+    ("http://fashion-mnist.s3-website.eu-central-1.amazonaws.com/"
+     "train-images-idx3-ubyte.gz", "8d4fb7e6c68d591d4c3dfef9ec88bf0d"),
+    ("http://fashion-mnist.s3-website.eu-central-1.amazonaws.com/"
+     "t10k-images-idx3-ubyte.gz", "bef4ecab320f06d8554ea6380940ec79"),
+    ("http://fashion-mnist.s3-website.eu-central-1.amazonaws.com/"
+     "train-labels-idx1-ubyte.gz", "25c81989df183df01b3e8a0aad5dffbe"),
+    ("http://fashion-mnist.s3-website.eu-central-1.amazonaws.com/"
+     "t10k-labels-idx1-ubyte.gz", "bb300cfdad3c16e7a12a480ee83cd310"),
+]
+
+_FASHION_CLASSES = ["T-shirt_top", "Trouser", "Pullover", "Dress", "Coat",
+                    "Sandal", "Shirt", "Sneaker", "Bag", "Ankle boot"]
+
+EMNIST_SUBSETS = ["byclass", "bymerge", "balanced", "letters", "digits",
+                  "mnist"]
+
+_DIGITS = [str(i) for i in range(10)]
+_UPPER = [chr(c) for c in range(ord("A"), ord("Z") + 1)]
+_LOWER = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+_MERGED = ["c", "i", "j", "k", "l", "m", "o", "p", "s", "u", "v", "w",
+           "x", "y", "z"]
+_UNMERGED = [c for c in _LOWER if c not in _MERGED]
+
+# class-name lists per taxonomy (reference mnist.py:101-112); 'letters'
+# deviates: 26 case-merged letters, matching the actual label space.
+EMNIST_CLASSES = {
+    "byclass": _DIGITS + _UPPER + _LOWER,
+    "bymerge": _DIGITS + _UPPER + _UNMERGED,
+    "balanced": _DIGITS + _UPPER + _UNMERGED,
+    "letters": _UPPER,
+    "digits": _DIGITS,
+    "mnist": _DIGITS,
+}
+
+
+def _pack_mnist_like(root: str, files, classes, verbose) -> None:
+    raw = os.path.join(root, "raw")
+    ensure_raw(files, raw, verbose)
+    for split, stem in (("train", "train"), ("test", "t10k")):
+        img = read_idx(os.path.join(raw, f"{stem}-images-idx3-ubyte"))
+        labels = read_idx(os.path.join(raw, f"{stem}-labels-idx1-ubyte"))
+        _save_processed(root, split, "label", _resize_batch(img), labels,
+                        classes)
+
+
+def _pack_emnist(root: str, verbose) -> None:
+    raw = os.path.join(root, "raw")
+    ensure_raw([("http://www.itl.nist.gov/iaui/vip/cs_links/EMNIST/gzip.zip",
+                 "58c8d27c78d21e728a6bc7b3cc06412e")], raw, verbose)
+    gzip_folder = os.path.join(raw, "gzip")
+    for f in os.listdir(gzip_folder):
+        if f.endswith(".gz"):
+            extract_file(os.path.join(gzip_folder, f))
+    for subset in EMNIST_SUBSETS:
+        for split in ("train", "test"):
+            img = read_idx(os.path.join(
+                gzip_folder, f"emnist-{subset}-{split}-images-idx3-ubyte"))
+            # EMNIST ships images transposed (reference mnist.py:118)
+            img = np.transpose(img, (0, 2, 1))
+            labels = read_idx(os.path.join(
+                gzip_folder, f"emnist-{subset}-{split}-labels-idx1-ubyte"))
+            if subset == "letters":
+                labels = labels - 1  # raw labels are 1..26
+            _save_processed(root, split, subset, _resize_batch(img), labels,
+                            EMNIST_CLASSES[subset])
+
+
+def _pack_cifar(root: str, name: str, verbose) -> None:
+    raw = os.path.join(root, "raw")
+    if name == "CIFAR10":
+        ensure_raw([("https://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz",
+                     "c58f30108f718f92721af3b95e74349a")], raw, verbose)
+        folder = os.path.join(raw, "cifar-10-batches-py")
+        split_files = {"train": [f"data_batch_{i}" for i in range(1, 6)],
+                       "test": ["test_batch"]}
+        with open(os.path.join(folder, "batches.meta"), "rb") as f:
+            classes = pickle.load(f, encoding="latin1")["label_names"]
+    else:
+        ensure_raw([("https://www.cs.toronto.edu/~kriz/cifar-100-python.tar.gz",
+                     "eb9058c3a382ffc7106e4002c42a8d85")], raw, verbose)
+        folder = os.path.join(raw, "cifar-100-python")
+        split_files = {"train": ["train"], "test": ["test"]}
+        with open(os.path.join(folder, "meta"), "rb") as f:
+            classes = pickle.load(f, encoding="latin1")["fine_label_names"]
+    for split, files in split_files.items():
+        img, labels = [], []
+        for fn in files:
+            with open(os.path.join(folder, fn), "rb") as f:
+                entry = pickle.load(f, encoding="latin1")
+            img.append(entry["data"])
+            labels.extend(entry.get("labels", entry.get("fine_labels")))
+        img = np.vstack(img).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        _save_processed(root, split, "label", np.ascontiguousarray(img),
+                        labels, classes)
+
+
+def _pack_svhn(root: str, verbose) -> None:
+    from scipy.io import loadmat
+
+    raw = os.path.join(root, "raw")
+    ensure_raw([("http://ufldl.stanford.edu/housenumbers/train_32x32.mat",
+                 "e26dedcc434d2e4c54c9b2d4a06d8373"),
+                ("http://ufldl.stanford.edu/housenumbers/test_32x32.mat",
+                 "eb5a983be6a315427106f1b164d9cef3")], raw, verbose)
+    for split in ("train", "test"):
+        mat = loadmat(os.path.join(raw, f"{split}_32x32.mat"))
+        img = np.transpose(mat["X"], (3, 0, 1, 2))  # HWCN -> NHWC
+        labels = mat["y"].ravel().astype(np.int64) % 10  # 10 means digit 0
+        _save_processed(root, split, "label", np.ascontiguousarray(img),
+                        labels, _DIGITS)
+
+
+def _pack_coil100(root: str, verbose) -> None:
+    from PIL import Image
+
+    raw = os.path.join(root, "raw")
+    ensure_raw([("http://www.cs.columbia.edu/CAVE/databases/"
+                 "SLAM_coil-20_coil-100/coil-100/coil-100.zip", None)],
+               raw, verbose)
+    folder = os.path.join(raw, "coil-100")
+    files = sorted(f for f in os.listdir(folder)
+                   if f.lower().endswith((".png", ".ppm", ".jpg", ".jpeg")))
+    # lexicographic class order: obj1, obj10, obj100, obj11, ...
+    # (reference coil.py:79 sorted(set(...)))
+    classes = sorted({f.split("_")[0] for f in files})
+    cls_idx = {c: i for i, c in enumerate(classes)}
+    img = np.empty((len(files), _RES, _RES, 3), np.uint8)
+    labels = np.empty(len(files), np.int64)
+    for i, fn in enumerate(files):
+        im = Image.open(os.path.join(folder, fn)).convert("RGB")
+        img[i] = np.asarray(im.resize((_RES, _RES), Image.BILINEAR))
+        labels[i] = cls_idx[fn.split("_")[0]]
+    # train and test ARE the same split (reference coil.py:74-77)
+    for split in ("train", "test"):
+        _save_processed(root, split, "label", img, labels, classes)
+
+
+def _pack_omniglot(root: str, verbose) -> None:
+    from PIL import Image
+
+    raw = os.path.join(root, "raw")
+    ensure_raw([
+        ("https://github.com/brendenlake/omniglot/raw/master/python/"
+         "images_background.zip", "68d2efa1b9178cc56df9314c21c6e718"),
+        ("https://github.com/brendenlake/omniglot/raw/master/python/"
+         "images_evaluation.zip", "6b91aef0f799c5bb55b94e3f2daec811"),
+    ], raw, verbose)
+    paths = []
+    for dirpath, _, files in sorted(os.walk(raw)):
+        for fn in sorted(files):
+            if fn.lower().endswith(".png"):
+                paths.append(os.path.join(dirpath, fn))
+    # class = alphabet/character (reference omniglot.py:80)
+    key = lambda p: "/".join(os.path.normpath(p).split(os.path.sep)[-3:-1])
+    classes = sorted({key(p) for p in paths})
+    cls_idx = {c: i for i, c in enumerate(classes)}
+    img = np.empty((len(paths), _RES, _RES, 1), np.uint8)
+    labels = np.empty(len(paths), np.int64)
+    for i, p in enumerate(paths):
+        im = Image.open(p).convert("L")
+        img[i, :, :, 0] = np.asarray(im.resize((_RES, _RES), Image.BILINEAR))
+        labels[i] = cls_idx[key(p)]
+    # train == test over all alphabets (reference omniglot.py:78-83)
+    for split in ("train", "test"):
+        _save_processed(root, split, "label", img, labels, classes)
+
+
+# --------------------------------------------------------------------------
+# synthetic data: deterministic, in-memory, no disk or network
+# --------------------------------------------------------------------------
+_SYNTH_CACHE: dict = {}
+
+
+def _make_synthetic(channels: int, n_train: int = 1024, n_test: int = 512,
+                    num_classes: int = 10):
+    """Class-separable blob images: class-keyed base pattern + noise."""
+    key = (channels, n_train, n_test)
+    if key in _SYNTH_CACHE:
+        return _SYNTH_CACHE[key]
+    rng = np.random.default_rng(20260816)
+    yy, xx = np.mgrid[0:_RES, 0:_RES].astype(np.float32) / (_RES - 1)
+    bases = []
+    for c in range(num_classes):
+        cx, cy = 0.15 + 0.7 * (c % 5) / 4, 0.25 + 0.5 * (c // 5)
+        blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / 0.02))
+        wave = 0.5 + 0.5 * np.sin(2 * np.pi * (xx * (1 + c % 3) +
+                                               yy * (1 + c // 3)))
+        base = np.stack([blob, wave, 0.5 * blob + 0.5 * wave][:channels], -1)
+        bases.append(base)
+    bases = np.stack(bases)  # [K,H,W,C]
+    out = []
+    for n in (n_train, n_test):
+        labels = rng.integers(0, num_classes, n)
+        noise = rng.normal(0, 0.08, (n, _RES, _RES, channels))
+        img = np.clip(bases[labels] + noise, 0, 1)
+        out.append((np.round(img * 255).astype(np.uint8),
+                    labels.astype(np.int32)))
+    _SYNTH_CACHE[key] = out
+    return out
+
+
+# --------------------------------------------------------------------------
+# public factory
+# --------------------------------------------------------------------------
+_PACKERS = {
+    "MNIST": lambda root, v: _pack_mnist_like(root, _MNIST_FILES, _DIGITS, v),
+    "FashionMNIST": lambda root, v: _pack_mnist_like(root, _FASHION_FILES,
+                                                     _FASHION_CLASSES, v),
+    "EMNIST": lambda root, v: _pack_emnist(root, v),
+    "CIFAR10": lambda root, v: _pack_cifar(root, "CIFAR10", v),
+    "CIFAR100": lambda root, v: _pack_cifar(root, "CIFAR100", v),
+    "SVHN": lambda root, v: _pack_svhn(root, v),
+    "COIL100": lambda root, v: _pack_coil100(root, v),
+    "Omniglot": lambda root, v: _pack_omniglot(root, v),
+}
+
+
+def fetch_dataset(data_name: str, subset: str = "label",
+                  data_dir: str = "./data",
+                  verbose: bool = True) -> dict[str, ArrayDataset]:
+    """Return ``{'train': ArrayDataset, 'test': ArrayDataset}``.
+
+    Reference: fetch_dataset (/root/reference/src/data.py:9-62). ``subset``
+    selects the EMNIST taxonomy; every other dataset only has 'label'.
+    """
+    if verbose:
+        print(f"fetching data {data_name}...")
+    if data_name in ("Synthetic", "SyntheticGray"):
+        channels = 1 if data_name == "SyntheticGray" else 3
+        (tr_img, tr_lab), (te_img, te_lab) = _make_synthetic(channels)
+        ds = {"train": ArrayDataset(tr_img, tr_lab, 10, _DIGITS, data_name),
+              "test": ArrayDataset(te_img, te_lab, 10, _DIGITS, data_name)}
+        if verbose:
+            print("data ready")
+        return ds
+    root = os.path.join(data_dir, data_name)
+    sub = subset if data_name == "EMNIST" else "label"
+    dataset = {}
+    for split in ("train", "test"):
+        ds = _load_processed(root, split, sub, data_name)
+        if ds is None:
+            if data_name not in _PACKERS:
+                raise ValueError(
+                    f"Not valid dataset name: {data_name}. For custom data, "
+                    f"place processed/{split}.npz (img uint8 NHWC, labels, "
+                    f"meta) under {root}/")
+            _PACKERS[data_name](root, verbose)
+            ds = _load_processed(root, split, sub, data_name)
+        dataset[split] = ds
+    if verbose:
+        print("data ready")
+    return dataset

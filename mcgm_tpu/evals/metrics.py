@@ -112,7 +112,7 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6,
     if method == "eigh":
         tr_covmean = _tr_sqrt_product_eigh(sigma1, sigma2)
     else:
-        covmean, _ = scipy.linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+        covmean = scipy.linalg.sqrtm(sigma1.dot(sigma2))
         if not np.isfinite(covmean).all():
             offset = np.eye(sigma1.shape[0]) * eps
             covmean = scipy.linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
@@ -235,7 +235,11 @@ class Metric:
         # (mu, sigma) precomputed on the real train set — the analog of the
         # reference's fid_stats_{data}_train.npz (fid_tf.py:355-357)
         self.real_stats = real_stats
-        self.is_splits = is_splits
+        # splits convention: 1 in-loop (reference src/metrics/metrics.py:75-81)
+        # vs 10 in the official standalone TF scorer
+        # (reference src/metrics_tf/inception_score_tf.py:108-139);
+        # cfg['is_splits'] overrides — the standalone CLI sets it to 10.
+        self.is_splits = int(self.cfg.get("is_splits", is_splits))
 
     def _feats_probs(self, img):
         if self.feature_fn is None:

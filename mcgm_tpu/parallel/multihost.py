@@ -24,13 +24,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize(**kwargs) -> None:
-    """Wire up the multi-host runtime; harmless no-op on one host."""
-    if jax.process_count() > 1 or kwargs:
+    """Wire up the multi-host runtime; harmless no-op when already wired.
+
+    kwargs (coordinator_address, num_processes, process_id, ...) are passed
+    straight to ``jax.distributed.initialize``. Skips only when the
+    distributed client is already up (process_count > 1 means a launcher
+    such as the TPU pod runtime initialized it first).
+    """
+    if jax.process_count() > 1:
         return  # already initialized by the launcher
     try:
         jax.distributed.initialize(**kwargs)
     except Exception:
-        pass  # single-host / already initialized
+        if kwargs:
+            raise  # explicit multi-host request must not fail silently
+        # bare single-host call: no coordinator to talk to — fine
 
 
 def local_batch_slice(global_batch_size: int) -> tuple[int, int]:

@@ -34,6 +34,7 @@ from ..evals.metrics import Metric, make_device_metrics
 from ..io.checkpoint import copy_best, load_checkpoint, save_checkpoint
 from ..models import build_model
 from ..report.logger import Logger
+from ..report.profiling import StepTimer
 from .optim import Scheduler, make_optimizer, set_learning_rate
 from .state import (GANTrainState, TrainState, make_eval_step,
                     make_gan_train_step, make_train_step, merge_variables,
@@ -339,27 +340,51 @@ class Experiment:
         if limit:
             n_batches = min(n_batches, limit)
         log_every = max(1, int(n_batches * cfg["log_interval"]))
+        # §5.1 profiling: cfg['profile_dir'] captures a jax.profiler trace of
+        # steps [profile_warmup, profile_warmup+profile_steps) of epoch 1;
+        # StepTimer feeds measured images/sec into the ETA log line.
+        prof_dir = cfg.get("profile_dir") if epoch == 1 else None
+        prof_warmup = cfg.get("profile_warmup", 2)
+        prof_steps = cfg.get("profile_steps", 10)
+        tracing = False
+        timer = StepTimer()
         t0 = time.time()
-        for i, batch in enumerate(loader):
-            if limit and i >= limit:
-                break
-            n = batch["n"]
-            batch = self._prep_batch(batch)
-            self.ts, metrics = self.train_step(self.ts, batch)
-            self.logger.append(
-                {k: float(v) for k, v in metrics.items()}, "train", n
-            )
-            if i % log_every == 0:
-                bt = (time.time() - t0) / (i + 1)
-                eta = datetime.timedelta(seconds=round(bt * (n_batches - i - 1)))
-                lr = (self.scheduler["generator"].lr if self.family == "gan"
-                      else self.scheduler.lr)
-                info = {"info": [f"Model: {self.tag}",
-                                 f"Train Epoch: {epoch}({100. * i / n_batches:.0f}%)",
-                                 f"Learning rate: {lr}",
-                                 f"Epoch Finished Time: {eta}"]}
-                self.logger.append(info, "train", mean=False)
-                self.logger.write("train", cfg["metric_name"]["train"])
+        try:
+            for i, batch in enumerate(loader):
+                if limit and i >= limit:
+                    break
+                n = batch["n"]
+                batch = self._prep_batch(batch)
+                if prof_dir and i == prof_warmup:
+                    jax.profiler.start_trace(prof_dir)
+                    tracing = True
+                timer.start()
+                self.ts, metrics = self.train_step(self.ts, batch)
+                metrics = {k: float(v) for k, v in metrics.items()}  # sync
+                timer.stop(n)
+                if tracing and i + 1 >= prof_warmup + prof_steps:
+                    jax.profiler.stop_trace()
+                    tracing = False
+                self.logger.append(metrics, "train", n)
+                if i % log_every == 0:
+                    bt = (time.time() - t0) / (i + 1)
+                    eta = datetime.timedelta(
+                        seconds=round(bt * (n_batches - i - 1)))
+                    lr = (self.scheduler["generator"].lr
+                          if self.family == "gan" else self.scheduler.lr)
+                    stats = timer.stats()
+                    rate = (f", {stats['items_per_s']:.0f} images/s"
+                            if stats else "")
+                    info = {"info": [f"Model: {self.tag}",
+                                     f"Train Epoch: {epoch}({100. * i / n_batches:.0f}%)",
+                                     f"Learning rate: {lr}",
+                                     f"Epoch Finished Time: {eta}{rate}"]}
+                    self.logger.append(info, "train", mean=False)
+                    self.logger.write("train", cfg["metric_name"]["train"])
+        finally:
+            if tracing:
+                jax.profiler.stop_trace()
+        self._last_step_stats = timer.stats()
 
     def test_epoch(self, epoch: int):
         if self.family == "gan":
@@ -372,6 +397,7 @@ class Experiment:
         cfg = self.cfg
         loader = self.loaders["train"]
         limit = cfg.get("limit_eval_batches")
+        out = batch = None
         for i, batch in enumerate(loader):
             if limit and i >= limit:
                 break
@@ -382,7 +408,7 @@ class Experiment:
             metrics = self.test_metrics(batch, out)
             self.logger.append({k2: float(v) for k2, v in metrics.items()},
                                "test", n)
-        if cfg.get("show") and "img" in out:
+        if cfg.get("show") and out is not None and "img" in out:
             from ..io.images import save_image_grid
             from ..utils import vis_path
 

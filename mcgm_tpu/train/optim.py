@@ -88,11 +88,13 @@ class Scheduler:
             "threshold": cfg.get("threshold", 1e-3),
             "min_lr": cfg.get("min_lr", 1e-5),
             "num_epochs": cfg.get("num_epochs", 200),
+            # torch ReduceLROnPlateau mode: 'min' (default) or 'max'
+            "plateau_mode": cfg.get("plateau_mode", "min"),
         }
         self.epoch = 0
         self.lr = self.base_lr
-        # ReduceLROnPlateau state (torch mode='min', threshold_mode='rel')
-        self.best = math.inf
+        # ReduceLROnPlateau state (threshold_mode='rel', as torch defaults)
+        self.best = math.inf if self.cfg["plateau_mode"] == "min" else -math.inf
         self.num_bad = 0
 
     def step(self, metric: float | None = None) -> float:
@@ -113,7 +115,12 @@ class Scheduler:
         elif name == "ReduceLROnPlateau":
             if metric is None:
                 raise ValueError("ReduceLROnPlateau requires a metric")
-            if metric < self.best * (1 - c["threshold"]):
+            if c["plateau_mode"] == "max":
+                # torch is_better(mode='max', rel): a > best * (1 + threshold)
+                improved = metric > self.best * (1 + c["threshold"])
+            else:
+                improved = metric < self.best * (1 - c["threshold"])
+            if improved:
                 self.best = metric
                 self.num_bad = 0
             else:

@@ -62,3 +62,82 @@ def test_loader_pad_to_batch():
     batches = list(loader)
     assert all(b["img"].shape[0] == 100 for b in batches)
     assert sum(b["n"] for b in batches) == len(ds)
+
+
+def test_loader_drop_last():
+    ds = fetch_dataset("Synthetic", verbose=False)["train"]
+    loader = DataLoader(ds, 100, shuffle=False, drop_last=True)
+    batches = list(loader)
+    assert len(batches) == len(loader) == len(ds) // 100
+    assert all(b["img"].shape[0] == 100 for b in batches)
+
+
+def test_mesh_loaders_never_pad_train_batches():
+    """Round-1 verdict fix: no duplicated sample may reach the train step.
+
+    Under a mesh the train loader must drop the final partial batch (every
+    yielded batch is exactly batch_size of distinct samples); eval loaders
+    pad for SPMD divisibility but carry the true count in 'n'.
+    """
+    from mcgm_tpu.data import make_data_loader
+    from mcgm_tpu.parallel import data_sharding, make_mesh
+
+    ds = fetch_dataset("Synthetic", verbose=False)
+    cfg = {"batch_size": {"train": 100, "test": 100}}
+    sharding = data_sharding(make_mesh(n_data=4))
+    loaders = make_data_loader(ds, cfg, seed=0, sharding=sharding)
+    train_batches = list(loaders["train"])
+    assert all(b["n"] == 100 and b["img"].shape[0] == 100
+               for b in train_batches)
+    assert len(train_batches) == len(ds["train"]) // 100
+    assert all(not b["img"].sharding.is_fully_replicated
+               for b in train_batches)
+    test_batches = list(loaders["test"])
+    assert all(b["img"].shape[0] == 100 for b in test_batches)
+    assert sum(b["n"] for b in test_batches) == len(ds["test"])
+
+
+def test_idx_parser_roundtrip(tmp_path):
+    """IDX (MNIST wire format) images + labels parse back bit-exactly."""
+    import struct
+
+    from mcgm_tpu.data.datasets import read_idx
+
+    img = np.random.default_rng(0).integers(0, 256, (7, 28, 28), np.uint8)
+    lab = np.array([3, 1, 4, 1, 5, 9, 2], np.uint8)
+    ipath, lpath = tmp_path / "img-idx3", tmp_path / "lab-idx1"
+    ipath.write_bytes(struct.pack(">iiii", 2051, 7, 28, 28) + img.tobytes())
+    lpath.write_bytes(struct.pack(">ii", 2049, 7) + lab.tobytes())
+    np.testing.assert_array_equal(read_idx(str(ipath)), img)
+    np.testing.assert_array_equal(read_idx(str(lpath)), lab.astype(np.int64))
+
+
+def test_processed_npz_roundtrip(tmp_path):
+    from mcgm_tpu.data.datasets import _load_processed, _save_processed
+
+    img = np.zeros((5, 32, 32, 3), np.uint8)
+    _save_processed(str(tmp_path), "train", "label", img, [0, 1, 2, 1, 0],
+                    ["a", "b", "c"])
+    ds = _load_processed(str(tmp_path), "train", "label", "X")
+    assert ds.num_classes == 3 and ds.classes == ["a", "b", "c"]
+    np.testing.assert_array_equal(ds.labels, [0, 1, 2, 1, 0])
+    np.testing.assert_array_equal(ds.classes_counts, [2, 2, 1])
+
+
+def test_emnist_taxonomies_complete():
+    """All six EMNIST subsets, with the reference class counts
+    (reference src/datasets/mnist.py:99-112)."""
+    from mcgm_tpu.data.datasets import EMNIST_CLASSES, EMNIST_SUBSETS
+
+    sizes = {s: len(EMNIST_CLASSES[s]) for s in EMNIST_SUBSETS}
+    assert sizes == {"byclass": 62, "bymerge": 47, "balanced": 47,
+                     "letters": 26, "digits": 10, "mnist": 10}
+
+
+def test_normalize_matches_reference_convention():
+    """uint8 x -> x/127.5 - 1 equals torchvision ToTensor + Normalize(0.5,
+    0.5) exactly (reference src/data.py:20-23)."""
+    x = np.arange(256, dtype=np.uint8).reshape(1, 16, 16, 1)
+    out = np.asarray(normalize_images(x))
+    expected = (x.astype(np.float32) / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(out, expected, atol=1e-6)

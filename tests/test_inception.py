@@ -69,3 +69,78 @@ def test_converter_roundtrip_via_fake_state_dict(init_vars):
 def test_resize_299():
     x = jnp.zeros((2, 32, 32, 3))
     assert bilinear_resize_299(x).shape == (2, 299, 299, 3)
+
+
+def test_resize_matches_torch_bilinear():
+    """jax.image.resize bilinear == torch interpolate(align_corners=False)
+    — the reference's exact upsample (src/metrics/metrics.py:66)."""
+    import torch
+    import torch.nn.functional as F
+
+    x = np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    ours = np.asarray(bilinear_resize_299(jnp.asarray(x)))
+    theirs = F.interpolate(torch.tensor(x.transpose(0, 3, 1, 2)), size=299,
+                           mode="bilinear", align_corners=False)
+    np.testing.assert_allclose(ours, theirs.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-5)
+
+
+def test_inception_a_block_matches_torch():
+    """Block-level torch parity: conv padding, BN eps=1e-3, avg_pool
+    count_include_pad, concat order — the load-bearing numerics of the
+    port — against a functional torch replica with converted weights."""
+    import torch
+    import torch.nn.functional as F
+
+    from fixture_utils import randomize_variables
+    from mcgm_tpu.evals.inception import InceptionA
+
+    m = InceptionA(pool_features=32)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 9, 9, 64)))
+    v = randomize_variables(v, seed=3)
+    rng = np.random.default_rng(4)
+    x = rng.uniform(-1, 1, (2, 9, 9, 64)).astype(np.float32)
+    ours = np.asarray(m.apply(v, jnp.asarray(x)))
+
+    def t(a):
+        return torch.tensor(np.asarray(a))
+
+    def basic(xt, name, stride=1, padding=0):
+        p = v["params"][name]
+        s = v["batch_stats"][name]
+        w = t(p["conv"]["kernel"]).permute(3, 2, 0, 1)
+        xt = F.conv2d(xt, w, stride=stride, padding=padding)
+        xt = F.batch_norm(xt, t(s["bn"]["mean"]), t(s["bn"]["var"]),
+                          t(p["bn"]["scale"]), t(p["bn"]["bias"]), eps=1e-3)
+        return F.relu(xt)
+
+    xt = torch.tensor(x.transpose(0, 3, 1, 2))
+    b1 = basic(xt, "branch1x1")
+    b5 = basic(basic(xt, "branch5x5_1"), "branch5x5_2", padding=2)
+    b3 = basic(basic(basic(xt, "branch3x3dbl_1"), "branch3x3dbl_2",
+                     padding=1), "branch3x3dbl_3", padding=1)
+    bp = basic(F.avg_pool2d(xt, 3, stride=1, padding=1), "branch_pool")
+    theirs = torch.cat([b1, b5, b3, bp], dim=1).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+def test_golden_activation_pin():
+    """Full-net forward pinned to a committed fixture: regenerate the
+    deterministic random weights (tests/fixture_utils.py), forward the
+    fixed input, and match tools/make_inception_fixture.py's output —
+    breaks if the architecture, layer math, or layout assumptions drift."""
+    import os
+
+    from fixture_utils import make_random_inception
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "inception_golden.npz")
+    z = np.load(path)
+    model, variables, x = make_random_inception(seed=0)
+    feats, logits = model.apply(variables, x)
+    scale = np.abs(z["feats"]).mean()
+    np.testing.assert_allclose(np.asarray(feats), z["feats"],
+                               atol=2e-3 * scale, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(logits), z["logits"],
+                               atol=2e-3 * np.abs(z["logits"]).mean(),
+                               rtol=2e-3)

@@ -18,6 +18,30 @@ def test_initialize_is_noop_single_host():
     assert jax.process_count() == 1
 
 
+def test_initialize_passes_kwargs_through(monkeypatch):
+    """Explicit coordinator kwargs must reach jax.distributed.initialize
+    (round-1 verdict: the old early-return swallowed them)."""
+    seen = {}
+
+    def fake_init(**kwargs):
+        seen.update(kwargs)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    multihost.initialize(coordinator_address="10.0.0.1:1234",
+                         num_processes=4, process_id=2)
+    assert seen == {"coordinator_address": "10.0.0.1:1234",
+                    "num_processes": 4, "process_id": 2}
+
+
+def test_initialize_kwargs_failure_raises(monkeypatch):
+    def boom(**kwargs):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError):
+        multihost.initialize(coordinator_address="10.0.0.1:1234")
+
+
 def test_local_batch_slice_single_host():
     start, stop = multihost.local_batch_slice(64)
     assert (start, stop) == (0, 64)

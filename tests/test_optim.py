@@ -51,6 +51,19 @@ def test_plateau_respects_min_lr():
     assert abs(s.lr - 1e-3) < 1e-12
 
 
+def test_plateau_max_mode():
+    """plateau_mode='max' reduces only when the metric stops rising
+    (torch ReduceLROnPlateau mode='max', threshold_mode='rel')."""
+    s = _sched("ReduceLROnPlateau", patience=0, plateau_mode="max")
+    lr0 = s.lr
+    s.step(1.0)
+    s.step(2.0)  # improving -> hold
+    assert s.lr == lr0
+    s.step(2.0)
+    s.step(2.0)  # plateaued past patience -> reduce
+    assert s.lr < lr0
+
+
 def test_none_scheduler_constant():
     s = _sched("None")
     assert all(s.step() == 1.0 for _ in range(3))

@@ -82,6 +82,16 @@ def test_resume_mode_2_warm_start(tmp_output):
     assert len(exp2.logger.history["train/Loss"]) == 1  # fresh logger
 
 
+def test_profile_dir_produces_trace(tmp_output):
+    """cfg['profile_dir'] wires jax.profiler into the epoch loop (§5.1)."""
+    import glob
+
+    prof = os.path.join(tmp_output, "prof")
+    _run("classifier", tmp_output, profile_dir=prof, profile_warmup=1,
+         profile_steps=2)
+    assert glob.glob(os.path.join(prof, "**", "*.xplane.pb"), recursive=True)
+
+
 def test_scheduler_reduces_lr_on_plateau(tmp_output):
     cfg = make_tiny_cfg("mcvae", tmp_dir=tmp_output, num_epochs=1)
     exp = Experiment(cfg)
