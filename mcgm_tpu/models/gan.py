@@ -22,8 +22,9 @@ import flax.linen as nn
 
 from ..ops.controller import MultimodalController, one_hot
 from ..ops.layers import (
-    BatchNorm, Conv, Dense, SNConv, SNConvPool, SNDense, UpsampledConv,
-    avg_pool, global_sum_pool, upsample_nearest, xavier_uniform,
+    BatchNorm, Conv, ConvS2D, Dense, SNConv, SNConvPool, SNDense,
+    UpsampledConv, add_upsampled_nearest, avg_pool, global_sum_pool,
+    upsample_nearest, xavier_uniform,
 )
 
 _xconv = dict(kernel_init=xavier_uniform)
@@ -62,12 +63,12 @@ class _MCGenResBlock(nn.Module):
         h = Conv(self.output_size, 3, 1, 1, name="Conv_1", **_xconv)(h)
         if self.stride > 1:
             # 1x1 conv and MC gate both commute with nearest-upsample:
-            # compute at LOW res (4x fewer MACs), upsample last (fused into
-            # the residual add by XLA).
+            # compute at LOW res (4x fewer MACs) and fuse the upsample into
+            # the residual add (no materialized 4x tensor).
             sc = mc_1(x, indicator)
             sc = Conv(self.output_size, 1, 1, 0, name="Conv_2", **_xconv)(sc)
-            sc = upsample_nearest(sc, self.stride)
-        elif self.input_size != self.output_size:
+            return add_upsampled_nearest(h, sc, self.stride)
+        if self.input_size != self.output_size:
             sc = mc_1(x, indicator)
             sc = Conv(self.output_size, 1, 1, 0, name="Conv_2", **_xconv)(sc)
         else:
@@ -97,8 +98,8 @@ class _CGenResBlock(nn.Module):
         h = Conv(self.output_size, 3, 1, 1, name="Conv_1", **_xconv)(h)
         if self.stride > 1:
             sc = Conv(self.output_size, 1, 1, 0, name="Conv_2", **_xconv)(x)
-            sc = upsample_nearest(sc, self.stride)
-        elif self.input_size != self.output_size:
+            return add_upsampled_nearest(h, sc, self.stride)
+        if self.input_size != self.output_size:
             sc = Conv(self.output_size, 1, 1, 0, name="Conv_2", **_xconv)(x)
         else:
             sc = x
@@ -124,7 +125,9 @@ class MCGenerator(nn.Module):
         x = BatchNorm()(x, use_running_average=not train)
         x = nn.relu(x)
         x = MultimodalController(hs[-1], self.num_mode, self.controller_rate)(x, indicator)
-        x = Conv(self.data_shape[-1], 3, 1, 1, **_xconv)(x)
+        # space-to-depth lowering for the 3-channel head: same 3x3 conv
+        # math, ~4x better MXU lane use (see ops.layers.ConvS2D)
+        x = ConvS2D(self.data_shape[-1], name="Conv_0", **_xconv)(x)
         return nn.tanh(x)
 
 
@@ -147,7 +150,7 @@ class CGenerator(nn.Module):
             x = _CGenResBlock(hs[i], hs[i + 1], 2)(x, train)
         x = BatchNorm()(x, use_running_average=not train)
         x = nn.relu(x)
-        x = Conv(self.data_shape[-1], 3, 1, 1, **_xconv)(x)
+        x = ConvS2D(self.data_shape[-1], name="Conv_0", **_xconv)(x)
         return nn.tanh(x)
 
 

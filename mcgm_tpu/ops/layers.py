@@ -394,6 +394,73 @@ def upsample_nearest(x: jax.Array, scale: int) -> jax.Array:
     return x.reshape(b, h * scale, w * scale, c)
 
 
+def add_upsampled_nearest(h: jax.Array, sc: jax.Array,
+                          scale: int = 2) -> jax.Array:
+    """``h + upsample_nearest(sc, scale)`` expressed as a broadcast add on a
+    reshaped view. Measured on v5e: identical throughput to the explicit
+    upsample (XLA materializes the broadcast either way, and that
+    materialization IS the residual-output write, already at HBM peak) —
+    kept as the direct expression of intent, not as an optimization."""
+    b, H, W, c = h.shape
+    hv = h.reshape(b, H // scale, scale, W // scale, scale, c)
+    out = hv + sc[:, :, None, :, None, :].astype(h.dtype)
+    return out.reshape(b, H, W, c)
+
+
+def conv3x3_s2d(x: jax.Array, kernel: jax.Array, factor: int = 4,
+                pref=None) -> jax.Array:
+    """conv3x3(pad=1) with TINY output-channel count, computed space-to-
+    depth so output channels fill MXU lanes.
+
+    The generator's final 256->3 conv runs at ~9 TFLOP/s (3 of 128 output
+    lanes used). Rewriting output pixels as channels — stride-``factor``
+    conv with a (factor+2)^2 kernel holding each output phase's 3x3 taps —
+    raises lane utilization ``factor^2``-fold for ``(factor+2)^2/9``-fold
+    more MACs: net ~4x at factor=4. Exact: every output element is the same
+    3x3 sum, re-indexed.
+    """
+    fh = fw = factor
+    kh, kw, cin, cout = kernel.shape
+    assert kh == kw == 3
+    kp = jnp.zeros((fh + 2, fw + 2, cin, fh * fw * cout), kernel.dtype)
+    for a in range(fh):
+        for b in range(fw):
+            block = jnp.zeros((fh + 2, fw + 2, cin, cout), kernel.dtype)
+            block = jax.lax.dynamic_update_slice(block, kernel, (a, b, 0, 0))
+            kp = jax.lax.dynamic_update_slice(
+                kp, block, (0, 0, 0, (a * fw + b) * cout))
+    y = jax.lax.conv_general_dilated(
+        x, kp, (fh, fw), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=pref,
+    )
+    B, Hf, Wf, _ = y.shape
+    y = y.reshape(B, Hf, Wf, fh, fw, cout)
+    y = y.transpose(0, 1, 3, 2, 4, 5)  # depth-to-space
+    return y.reshape(B, Hf * fh, Wf * fw, cout)
+
+
+class ConvS2D(nn.Module):
+    """Conv(3x3, pad 1) with space-to-depth lowering for tiny output-channel
+    counts (the generators' image-space head). Param-compatible with Conv."""
+
+    features: int
+    factor: int = 4
+    kernel_init: Callable = torch_kernel_init
+    bias_init: Callable | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, in_ch, self.features))
+        xc, kc = _cast_compute(x, kernel)
+        y = _cast_out(conv3x3_s2d(xc, kc, self.factor, pref=_pref()))
+        bias = self.param("bias", self.bias_init or torch_bias_init(in_ch * 9),
+                          (self.features,))
+        return y + bias.astype(y.dtype)
+
+
 def avg_pool(x: jax.Array, window: int = 2) -> jax.Array:
     return nn.avg_pool(x, (window, window), strides=(window, window))
 

@@ -149,3 +149,57 @@ def test_resolve_compute_dtype():
 
     with pytest.raises(ValueError):
         resolve_compute_dtype("fp8")
+
+
+def test_add_upsampled_nearest_matches_naive():
+    from mcgm_tpu.ops.layers import add_upsampled_nearest
+
+    k1, k2 = jax.random.split(K)
+    h = jax.random.normal(k1, (2, 8, 8, 5))
+    sc = jax.random.normal(k2, (2, 4, 4, 5))
+    fused = add_upsampled_nearest(h, sc, 2)
+    naive = h + upsample_nearest(sc, 2)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(naive), atol=1e-6)
+    # gradients through both operands match the naive composition
+    g1 = jax.grad(lambda a, b: jnp.sum(add_upsampled_nearest(a, b) ** 2),
+                  argnums=(0, 1))(h, sc)
+    g2 = jax.grad(lambda a, b: jnp.sum((a + upsample_nearest(b, 2)) ** 2),
+                  argnums=(0, 1))(h, sc)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_conv_s2d_matches_naive():
+    from mcgm_tpu.ops.layers import conv3x3_s2d
+
+    k1, k2 = jax.random.split(K)
+    x = jax.random.normal(k1, (2, 8, 8, 7))
+    kern = jax.random.normal(k2, (3, 3, 7, 3)) * 0.3
+
+    def naive(x, kern):
+        return jax.lax.conv_general_dilated(
+            x, kern, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    for f in (2, 4):
+        np.testing.assert_allclose(np.asarray(conv3x3_s2d(x, kern, f)),
+                                   np.asarray(naive(x, kern)),
+                                   atol=1e-5)
+    # gradients re-index exactly too
+    g1 = jax.grad(lambda a, b: jnp.sum(conv3x3_s2d(a, b, 4) ** 2),
+                  argnums=(0, 1))(x, kern)
+    g2 = jax.grad(lambda a, b: jnp.sum(naive(a, b) ** 2),
+                  argnums=(0, 1))(x, kern)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_conv_s2d_module_param_compatible():
+    from mcgm_tpu.ops.layers import Conv, ConvS2D
+
+    x = jnp.zeros((2, 8, 8, 7))
+    v1 = Conv(3, 3, 1, 1).init(K, x)
+    v2 = ConvS2D(3, factor=2).init(K, x)
+    s1 = jax.tree_util.tree_map(lambda a: a.shape, v1)
+    s2 = jax.tree_util.tree_map(lambda a: a.shape, v2)
+    assert s1 == s2
