@@ -348,33 +348,51 @@ class Experiment:
         prof_steps = cfg.get("profile_steps", 10)
         tracing = False
         timer = StepTimer()
+        # Per-step metric fetches would force a host<->device round trip
+        # every step (the reference's .item() pattern, train_gan.py:160-166;
+        # ~31 ms on a tunneled chip — more than the step itself). Steps
+        # dispatch async; metrics buffer ON DEVICE and flush as one stacked
+        # transfer at each log point.
+        buffered: list = []
+
+        def flush():
+            if not buffered:
+                return
+            names = sorted(buffered[0][0].keys())
+            stacked = np.asarray(jnp.stack(
+                [jnp.stack([m[k] for k in names]) for m, _ in buffered]))
+            for row, (_, n_i) in zip(stacked, buffered):
+                self.logger.append(
+                    {k: float(v) for k, v in zip(names, row)}, "train", n_i)
+            buffered.clear()
+
         t0 = time.time()
+        seen = 0
         try:
             for i, batch in enumerate(loader):
                 if limit and i >= limit:
                     break
                 n = batch["n"]
+                seen += n
                 batch = self._prep_batch(batch)
                 if prof_dir and i == prof_warmup:
                     jax.profiler.start_trace(prof_dir)
                     tracing = True
                 timer.start()
                 self.ts, metrics = self.train_step(self.ts, batch)
-                metrics = {k: float(v) for k, v in metrics.items()}  # sync
                 timer.stop(n)
                 if tracing and i + 1 >= prof_warmup + prof_steps:
                     jax.profiler.stop_trace()
                     tracing = False
-                self.logger.append(metrics, "train", n)
+                buffered.append((metrics, n))
                 if i % log_every == 0:
+                    flush()
                     bt = (time.time() - t0) / (i + 1)
                     eta = datetime.timedelta(
                         seconds=round(bt * (n_batches - i - 1)))
                     lr = (self.scheduler["generator"].lr
                           if self.family == "gan" else self.scheduler.lr)
-                    stats = timer.stats()
-                    rate = (f", {stats['items_per_s']:.0f} images/s"
-                            if stats else "")
+                    rate = f", {seen / (time.time() - t0):.0f} images/s"
                     info = {"info": [f"Model: {self.tag}",
                                      f"Train Epoch: {epoch}({100. * i / n_batches:.0f}%)",
                                      f"Learning rate: {lr}",
@@ -384,6 +402,7 @@ class Experiment:
         finally:
             if tracing:
                 jax.profiler.stop_trace()
+            flush()
         self._last_step_stats = timer.stats()
 
     def test_epoch(self, epoch: int):

@@ -134,6 +134,23 @@ def test_emnist_taxonomies_complete():
                      "letters": 26, "digits": 10, "mnist": 10}
 
 
+def test_streaming_stats_match_direct(tmp_path):
+    """Welford-merge chunked stats == direct full-array mean/std."""
+    from mcgm_tpu.data.stats import Stats, make_stats
+
+    ds = fetch_dataset("Synthetic", verbose=False)["train"]
+    s = Stats(3)
+    for i in range(0, len(ds), 100):
+        s.update(ds.img[i:i + 100])
+    x = ds.img.astype(np.float64).reshape(-1, 3) / 255.0
+    np.testing.assert_allclose(s.mean, x.mean(0), atol=1e-10)
+    np.testing.assert_allclose(s.std, x.std(0, ddof=1), atol=1e-10)
+    # cache roundtrip
+    s2 = make_stats(ds, data_dir=str(tmp_path))
+    s3 = make_stats(ds, data_dir=str(tmp_path))  # cached load
+    np.testing.assert_allclose(s2.mean, s3.mean)
+
+
 def test_normalize_matches_reference_convention():
     """uint8 x -> x/127.5 - 1 equals torchvision ToTensor + Normalize(0.5,
     0.5) exactly (reference src/data.py:20-23)."""
