@@ -323,6 +323,8 @@ class Block(nn.Module):
     controller_rate: float | None = None
     cond_prior: bool = False  # CGlow: one-hot embedding added to final prior
     scan_flows: bool = False  # scan one flow body over K-stacked params
+    scan_unroll: int = 1  # lax.scan unroll factor (TPU: trades code size
+    #   for fewer stacked-param dynamic-slice round trips per iteration)
 
     def setup(self):
         sq = self.input_size * 4
@@ -331,6 +333,7 @@ class Block(nn.Module):
                 variable_axes={"params": 0, "codebook": 0, "glow_const": 0},
                 split_rngs={"params": True},
                 length=self.K,
+                unroll=self.scan_unroll,
             )
             Scanned = nn.scan(_FlowBody, methods={
                 "fwd": dict(common),
@@ -476,6 +479,7 @@ class MCGlow(_GlowBase):
     num_mode: int = 10
     controller_rate: float = 0.5
     scan_flows: bool = False
+    scan_unroll: int = 1
 
     def setup(self):
         blocks = []
@@ -483,11 +487,12 @@ class MCGlow(_GlowBase):
         for i in range(self.L - 1):
             blocks.append(Block(c, self.hidden_size, self.K, True, self.affine,
                                 self.conv_lu, self.num_mode, self.controller_rate,
-                                scan_flows=self.scan_flows, name=f"block_{i}"))
+                                scan_flows=self.scan_flows, scan_unroll=self.scan_unroll,
+                                name=f"block_{i}"))
             c *= 2
         blocks.append(Block(c, self.hidden_size, self.K, False, self.affine,
                             self.conv_lu, self.num_mode, self.controller_rate,
-                            scan_flows=self.scan_flows,
+                            scan_flows=self.scan_flows, scan_unroll=self.scan_unroll,
                             name=f"block_{self.L - 1}"))
         self.blocks = blocks
 
@@ -505,6 +510,7 @@ class CGlow(_GlowBase):
     conv_lu: bool = True
     num_mode: int = 10
     scan_flows: bool = False
+    scan_unroll: int = 1
 
     def setup(self):
         blocks = []
@@ -512,10 +518,11 @@ class CGlow(_GlowBase):
         for i in range(self.L - 1):
             blocks.append(Block(c, self.hidden_size, self.K, True, self.affine,
                                 self.conv_lu, None, None,
-                                scan_flows=self.scan_flows, name=f"block_{i}"))
+                                scan_flows=self.scan_flows, scan_unroll=self.scan_unroll,
+                                name=f"block_{i}"))
             c *= 2
         blocks.append(Block(c, self.hidden_size, self.K, False, self.affine,
                             self.conv_lu, None, None, cond_prior=True,
-                            scan_flows=self.scan_flows,
+                            scan_flows=self.scan_flows, scan_unroll=self.scan_unroll,
                             name=f"block_{self.L - 1}"))
         self.blocks = blocks

@@ -417,6 +417,9 @@ class Experiment:
         loader = self.loaders["train"]
         limit = cfg.get("limit_eval_batches")
         out = batch = None
+        # same async pattern as train_epoch: metrics stay on device until
+        # one stacked flush (a per-batch float() costs a tunnel round trip)
+        buffered = []
         for i, batch in enumerate(loader):
             if limit and i >= limit:
                 break
@@ -424,9 +427,14 @@ class Experiment:
             batch = self._prep_batch(batch)
             self.rng, k = jax.random.split(self.rng)
             out = self.eval_step(self.ts.params, self.ts.state, batch, k)
-            metrics = self.test_metrics(batch, out)
-            self.logger.append({k2: float(v) for k2, v in metrics.items()},
-                               "test", n)
+            buffered.append((self.test_metrics(batch, out), n))
+        if buffered:
+            names = sorted(buffered[0][0].keys())
+            stacked = np.asarray(jnp.stack(
+                [jnp.stack([m[k2] for k2 in names]) for m, _ in buffered]))
+            for row, (_, n_i) in zip(stacked, buffered):
+                self.logger.append(
+                    {k2: float(v) for k2, v in zip(names, row)}, "test", n_i)
         if cfg.get("show") and out is not None and "img" in out:
             from ..io.images import save_image_grid
             from ..utils import vis_path

@@ -53,6 +53,7 @@ def invconv_flop_share(B=128, res=32, hidden=512, K=16, L=3, affine=True):
 
 
 def build_step():
+    print(f"scan_unroll={os.environ.get('GLOW_UNROLL', '1')}")
     from mcgm_tpu.models import build_model
     from mcgm_tpu.train.optim import make_optimizer
     from mcgm_tpu.train.state import (TrainState, jit_init, make_train_step,
@@ -62,7 +63,8 @@ def build_step():
         "model_name": "mcglow", "classes_size": 10, "controller_rate": 0.5,
         "data_name": "CIFAR10", "data_shape": [32, 32, 3],
         "glow": {"hidden_size": 512, "K": 16, "L": 3, "affine": True,
-                 "conv_lu": True, "scan_flows": True},
+                 "conv_lu": True, "scan_flows": True,
+                 "scan_unroll": int(os.environ.get("GLOW_UNROLL", "1"))},
     }
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
