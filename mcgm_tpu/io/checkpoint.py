@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 
 from ..utils import ckpt_path, load, makedir_exist_ok, save, to_numpy_tree
 
@@ -24,6 +25,39 @@ def save_checkpoint(cfg: dict, tag: str, payload: dict, kind: str = "checkpoint"
     path = ckpt_path(cfg, tag, kind)
     save(to_numpy_tree(payload), path)
     return path
+
+
+class AsyncCheckpointer:
+    """Overlap the checkpoint fetch+pickle+write (and the optional _best
+    copy) with the next epoch's compute.
+
+    jax arrays are immutable, so handing the live state trees to a writer
+    thread is safe — the device fetch sees exactly the values at submit
+    time while the main thread keeps dispatching steps. One outstanding
+    write at a time (epoch N+1's submit joins epoch N's writer), matching
+    the reference's at-most-one-epoch-lost guarantee
+    (reference train_vae.py:83-92).
+    """
+
+    def __init__(self):
+        self._thread: threading.Thread | None = None
+
+    def submit(self, cfg: dict, tag: str, payload: dict,
+               copy_to_best: bool = False) -> None:
+        self.wait()
+
+        def work():
+            save_checkpoint(cfg, tag, payload)
+            if copy_to_best:
+                copy_best(cfg, tag)
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
 
 
 def copy_best(cfg: dict, tag: str):

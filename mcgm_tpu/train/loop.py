@@ -19,6 +19,7 @@ protocol. The per-batch work is one jitted step; batches stream to the device
 
 from __future__ import annotations
 
+import copy
 import datetime
 import time
 from dataclasses import replace
@@ -31,7 +32,8 @@ from ..config import make_model_tag, process_control
 from ..data import fetch_dataset, make_data_loader, process_dataset
 from ..evals.features import extract_real_features, make_feature_fn
 from ..evals.metrics import Metric, make_device_metrics
-from ..io.checkpoint import copy_best, load_checkpoint, save_checkpoint
+from ..io.checkpoint import (AsyncCheckpointer, load_checkpoint,
+                             save_checkpoint)
 from ..models import build_model
 from ..report.logger import Logger
 from ..report.profiling import StepTimer
@@ -111,6 +113,7 @@ class Experiment:
         self.family = cfg["family"]
         self.mesh = mesh
         self.logger = None
+        self._ckpt_writer = AsyncCheckpointer()
 
     # ------------------------------------------------------------- setup
     def setup(self):
@@ -296,13 +299,14 @@ class Experiment:
             pivot_val = self.logger.mean.get(f"test/{cfg['pivot_metric']}")
             self._scheduler_step(pivot_val)
             self.logger.safe(False)
-            self._checkpoint(epoch)
             # when the pivot metric is unavailable (e.g. no feature model for
             # IS), every epoch counts as an improvement → best = latest
-            if pivot_val is None or self._improved(pivot_val, pivot):
-                pivot = pivot_val if pivot_val is not None else pivot
-                copy_best(cfg, self.tag)
+            improved = pivot_val is None or self._improved(pivot_val, pivot)
+            if improved and pivot_val is not None:
+                pivot = pivot_val
+            self._checkpoint(epoch, copy_to_best=improved)
             self.logger.reset()
+        self._ckpt_writer.wait()  # files must exist when run() returns
         return self.logger
 
     def _improved(self, value, pivot):
@@ -495,7 +499,7 @@ class Experiment:
                 self.ts.state)
         return merge_variables(self.ts.params, self.ts.state)
 
-    def _checkpoint(self, epoch: int):
+    def _checkpoint(self, epoch: int, copy_to_best: bool = False):
         cfg = self.cfg
         if self.family == "gan":
             opt = {"generator": self.ts.g_opt_state,
@@ -510,10 +514,16 @@ class Experiment:
             "model_dict": self._model_variables(),
             "optimizer_dict": opt,
             "scheduler_dict": sched,
-            "logger": self.logger,
+            # snapshot: the live logger mutates (reset) while the writer
+            # thread pickles; __getstate__ already strips the file handle
+            "logger": copy.deepcopy(self.logger),
             "rng": np.asarray(self.ts.rng),
         }
-        save_checkpoint(cfg, self.tag, payload)
+        # fetch+pickle+write (tens to hundreds of MB) overlaps the next
+        # epoch's dispatched steps — jax arrays are immutable, so the
+        # writer sees exactly this epoch's values
+        self._ckpt_writer.submit(cfg, self.tag, payload,
+                                 copy_to_best=copy_to_best)
 
     def _resume(self):
         cfg = self.cfg
