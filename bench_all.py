@@ -35,10 +35,10 @@ STEPS = 20
 SAMPLE_N = 256
 
 
-def _cfg(model_name):
+def _cfg(model_name, data_name="CIFAR10"):
     cfg = load_config()
     cfg = apply_control_name(cfg, "0.5" if model_name.startswith("mc") else "None")
-    cfg.update(dict(data_name="CIFAR10", model_name=model_name))
+    cfg.update(dict(data_name=data_name, model_name=model_name))
     cfg = apply_family_overrides(process_control(cfg))
     cfg["classes_size"] = 10
     return cfg
@@ -46,11 +46,12 @@ def _cfg(model_name):
 
 def _batch(cfg, fam):
     rng = jax.random.PRNGKey(0)
+    bs = cfg["batch_size"]["train"]
     if fam == "pixelcnn":
-        img = jax.random.randint(rng, (BATCH, 8, 8), 0, 512)
+        img = jax.random.randint(rng, (bs, 8, 8), 0, 512)
     else:
-        img = jax.random.uniform(rng, (BATCH, *cfg["data_shape"]), minval=-1, maxval=1)
-    return {"img": img, "label": jnp.arange(BATCH, dtype=jnp.int32) % 10}
+        img = jax.random.uniform(rng, (bs, *cfg["data_shape"]), minval=-1, maxval=1)
+    return {"img": img, "label": jnp.arange(bs, dtype=jnp.int32) % 10}
 
 
 def _emit(metric, value, unit):
@@ -58,11 +59,13 @@ def _emit(metric, value, unit):
           flush=True)
 
 
-def bench_train(model_name):
-    cfg = _cfg(model_name)
+def bench_train(model_name, data_name="CIFAR10", label=None):
+    label = label or model_name
+    cfg = _cfg(model_name, data_name)
     fam = cfg["family"]
     model = build_model(cfg)
     batch = _batch(cfg, fam)
+    bs = batch["label"].shape[0]
     rng = jax.random.PRNGKey(0)
     streams = RNG_STREAMS.get(fam, ())
     rngs = {"params": rng, "z": rng, **{s: rng for s in streams}}
@@ -94,7 +97,7 @@ def bench_train(model_name):
         ts, m = step(ts, batch)
     jax.block_until_ready(m)
     dt = time.perf_counter() - t0
-    _emit(f"{model_name}_train_images_per_sec", BATCH * STEPS / dt, "images/sec/chip")
+    _emit(f"{label}_train_images_per_sec", bs * STEPS / dt, "images/sec/chip")
     if fam == "gan":
         live = {"params": {"generator": ts.g_params, "discriminator": ts.d_params},
                 **ts.state}
@@ -146,6 +149,13 @@ def bench_sampling(model_name, model, variables, cfg):
 
 
 def main():
+    import sys
+
+    # production precision: bf16 compute on TPU (as Experiment.setup does)
+    from mcgm_tpu.ops.layers import resolve_compute_dtype, set_compute_dtype
+
+    set_compute_dtype(resolve_compute_dtype("auto"))
+
     for name in ("mcvae", "vqvae", "mcgan", "mcpixelcnn", "mcglow"):
         try:
             model, variables, cfg = bench_train(name)
@@ -153,6 +163,14 @@ def main():
                 bench_sampling(name, model, variables, cfg)
         except Exception as e:  # keep the table going
             print(json.dumps({"metric": name, "error": str(e)[:200]}), flush=True)
+    if "--with-128px" in sys.argv:
+        # the reference's high-res protocol (CelebA-HQ/ImageNet 128x128,
+        # 5-stage G/D, batch 32 — src/utils.py:107-126, 156-171)
+        try:
+            bench_train("mcgan", data_name="CelebA-HQ", label="mcgan_128px")
+        except Exception as e:
+            print(json.dumps({"metric": "mcgan_128px", "error": str(e)[:200]}),
+                  flush=True)
 
 
 if __name__ == "__main__":

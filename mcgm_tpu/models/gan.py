@@ -116,8 +116,15 @@ class MCGenerator(nn.Module):
     @nn.compact
     def __call__(self, z, indicator, train: bool = False):
         hs = self.hidden_size
-        x = Dense(hs[0] * 4 * 4, kernel_init=xavier_uniform)(z)
-        x = x.reshape(x.shape[0], 4, 4, hs[0])
+        # Start resolution derived from data_shape: res / 2^(num blocks).
+        # At 32px this is the reference's hardcoded 4x4 (mcgan.py:51,67); at
+        # 128px the reference's 5-entry hidden list yields only 4 stride-2
+        # blocks and emits 64x64 against 128x128 reals (latent defect masked
+        # by its separate D(real)/D(fake) calls) — deriving the start keeps
+        # G(z) shaped like the data. See docs/DESIGN.md (deviations).
+        start = self.data_shape[0] >> (len(hs) - 1)
+        x = Dense(hs[0] * start * start, kernel_init=xavier_uniform)(z)
+        x = x.reshape(x.shape[0], start, start, hs[0])
         for i in range(len(hs) - 1):
             x = _MCGenResBlock(hs[i], hs[i + 1], self.num_mode, self.controller_rate, 2)(
                 x, indicator, train
@@ -144,8 +151,9 @@ class CGenerator(nn.Module):
         emb = Dense(self.embedding_size, use_bias=False, name="embedding",
                     kernel_init=xavier_uniform)(indicator)
         x = jnp.concatenate([z, emb], axis=-1)
-        x = Dense(hs[0] * 4 * 4, kernel_init=xavier_uniform)(x)
-        x = x.reshape(x.shape[0], 4, 4, hs[0])
+        start = self.data_shape[0] >> (len(hs) - 1)  # see MCGenerator note
+        x = Dense(hs[0] * start * start, kernel_init=xavier_uniform)(x)
+        x = x.reshape(x.shape[0], start, start, hs[0])
         for i in range(len(hs) - 1):
             x = _CGenResBlock(hs[i], hs[i + 1], 2)(x, train)
         x = BatchNorm()(x, use_running_average=not train)

@@ -97,6 +97,29 @@ def test_128px_vae_and_glow_build():
     assert g.make_z_shapes()[-1] == (4, 4, 192)
 
 
+def test_128px_gan_generator_matches_data_shape():
+    """The 5-entry 128px hidden list (reference utils.py:167-168) must
+    produce 128x128 samples. The reference generator's own 128px config
+    emits 64x64 (mcgan.py:51-67 does len(hidden)-1 stride-2 blocks from a
+    hardcoded 4x4 start) — we derive the start resolution instead, so G(z)
+    always matches data_shape; at 32px the derived start is the same 4x4."""
+    from mcgm_tpu.models.gan import MCGenerator, CGenerator
+
+    z = jnp.zeros((2, 8))
+    ind = jnp.eye(4)[jnp.zeros((2,), jnp.int32)]
+    for cls, kw in ((MCGenerator, dict(num_mode=4, controller_rate=0.5)),
+                    (CGenerator, dict(num_mode=4, embedding_size=8))):
+        g = cls((128, 128, 3), 8, (8, 8, 8, 8, 8), **kw)
+        v = g.init({"params": K}, z, ind, train=True)
+        out, _ = g.apply(v, z, ind, train=True, mutable=["batch_stats"])
+        assert out.shape == (2, 128, 128, 3)
+        # 32px path unchanged: 4-entry list -> 4x4 start, 3 upsamples
+        g32 = cls((32, 32, 3), 8, (8, 8, 8, 8), **kw)
+        v32 = g32.init({"params": K}, z, ind, train=True)
+        out32, _ = g32.apply(v32, z, ind, train=True, mutable=["batch_stats"])
+        assert out32.shape == (2, 32, 32, 3)
+
+
 def test_mc_vs_c_param_structure():
     """mc models carry codebooks; c models carry class embeddings."""
     cfg = make_tiny_cfg("mcvae"); cfg["classes_size"] = 10
