@@ -9,8 +9,10 @@ the equivalent — and its multi-host generalization — is SPMD over a
   replicated; gradient reduction is inserted by XLA (psum) during jit
   compilation of the global-view step function;
 - the ``cfg['world_size']`` knob maps to the mesh size;
-- a second (currently trivial) ``model`` axis is kept in the mesh signature
-  so tensor-style shardings remain expressible without re-plumbing.
+- a second ``model`` axis carries tensor parallelism: ``shard_params``
+  places output-channel axes over it (``cfg['model_size']`` > 1), XLA's
+  SPMD partitioner inserts the collectives, and ``with_state_shardings``
+  pins step outputs so the placement survives updates.
 
 No per-replica loss averaging is needed: the step computes the global-batch
 loss directly (the reference had to ``.mean()`` replica losses —
@@ -51,3 +53,60 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
         k: (jax.device_put(v, sharding) if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0 else v)
         for k, v in batch.items()
     }
+
+
+def shard_params(mesh: Mesh, tree, min_elements: int = 4096):
+    """Tensor-parallel placement over the mesh's ``model`` axis.
+
+    The reference needs no TP for parity (SURVEY §2.10: largest model is tens
+    of MB), but the mesh keeps a named ``model`` axis so tensor shardings stay
+    expressible. This is the policy that makes that axis real: every leaf
+    whose trailing (output-channel) axis divides the model-axis size and that
+    is large enough to matter is sharded over ``model``; everything else
+    (biases, norm scales, BN stats, spectral-norm vectors, RNG keys) is
+    replicated. Inside ``jit`` XLA's SPMD partitioner then runs
+    column-parallel matmuls/convs and inserts the all-gathers/psums itself —
+    the scaling-book recipe (annotate, let the compiler place collectives).
+
+    Works on any pytree of arrays: params, mutable state, and optimizer
+    state (Adam mu/nu mirror the param shapes, so they shard identically).
+    With ``n_model == 1`` this degrades to full replication.
+    """
+    n_model = mesh.shape["model"]
+    repl = NamedSharding(mesh, P())
+
+    def place(leaf):
+        if not hasattr(leaf, "shape"):
+            return leaf
+        nd = getattr(leaf, "ndim", 0)
+        if (n_model > 1 and nd >= 1 and leaf.shape[-1] % n_model == 0
+                and leaf.size >= min_elements):
+            spec = P(*([None] * (nd - 1)), "model")
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return jax.device_put(leaf, repl)
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def state_shardings(tree):
+    """Pytree of each leaf's current sharding (for pinning step outputs)."""
+    return jax.tree_util.tree_map(lambda l: l.sharding, tree)
+
+
+def with_state_shardings(step, shardings):
+    """Wrap ``step(ts, batch)`` so the updated state keeps its placement.
+
+    Without a constraint, XLA's propagation is free to return updated params
+    replicated (or in whatever layout the last op produced), silently undoing
+    tensor-parallel placement after one step. The constraint is applied
+    inside the traced function, so it costs nothing when propagation already
+    agrees.
+    """
+
+    def wrapped(ts, batch):
+        ts2, aux = step(ts, batch)
+        ts2 = jax.tree_util.tree_map(jax.lax.with_sharding_constraint,
+                                     ts2, shardings)
+        return ts2, aux
+
+    return wrapped

@@ -164,10 +164,25 @@ class Experiment:
                 **{s: init_key for s in streams}}
         variables = jit_init(self.model, rngs, self._example_batch(), train=True)
         if self.mesh is not None:
-            from ..parallel import replicate
+            from ..parallel import replicate, shard_params
 
+            if self.mesh.shape.get("model", 1) > 1:
+                return shard_params(self.mesh, variables,
+                                    self.cfg.get("tp_min_elements", 4096))
             return replicate(self.mesh, variables)
         return jax.device_put(variables, jax.devices()[0])
+
+    def _place_state(self, ts, step):
+        """Under a tensor-parallel mesh, place the train state by the TP
+        policy and pin the step's output placement to match (otherwise XLA
+        may return updated params replicated, undoing the sharding after one
+        step). DP-only meshes and single-device runs pass through."""
+        if self.mesh is None or self.mesh.shape.get("model", 1) <= 1:
+            return ts, step
+        from ..parallel import shard_params, state_shardings, with_state_shardings
+
+        ts = shard_params(self.mesh, ts, self.cfg.get("tp_min_elements", 4096))
+        return ts, with_state_shardings(step, state_shardings(ts))
 
     def _build_family(self, init_key):
         cfg = self.cfg
@@ -195,6 +210,7 @@ class Experiment:
                                        d_iter=go["iter"]["discriminator"],
                                        loss_type=cfg["loss_type"],
                                        unroll=cfg.get("gan_scan_unroll", 1))
+            self.ts, step = self._place_state(self.ts, step)
             self.train_step = jax.jit(step, donate_argnums=0)
             self.generate_fn = jax.jit(
                 lambda vars_, C, z: self.model.apply(vars_, C, z, False,
@@ -214,6 +230,7 @@ class Experiment:
         step = make_train_step(self.model, self.optimizer,
                                rng_streams=streams,
                                )
+        self.ts, step = self._place_state(self.ts, step)
         self.train_step = jax.jit(self._wrap_metrics(step), donate_argnums=0)
         ev = make_eval_step(self.model, rng_streams=streams)
         self.eval_step = jax.jit(ev)
@@ -595,14 +612,17 @@ class Experiment:
 def run_experiments(cfg: dict, num_epochs: int | None = None, mesh=None):
     """reference ``main()``: loop seeds init_seed..init_seed+num_experiments.
 
-    ``world_size > 1`` maps onto a data-parallel mesh of that many devices —
-    the SPMD analog of the reference's DataParallel gate
-    (reference train_vae.py:72-73).
+    ``world_size > 1`` maps onto a mesh of that many devices — the SPMD
+    analog of the reference's DataParallel gate (reference
+    train_vae.py:72-73). ``model_size > 1`` carves a tensor-parallel axis
+    out of it: mesh shape (world_size / model_size, model_size), params
+    sharded per ``parallel.shard_params``.
     """
     if mesh is None and cfg.get("world_size", 1) > 1:
         from ..parallel import make_mesh
 
-        mesh = make_mesh(n_data=cfg["world_size"])
+        n_model = int(cfg.get("model_size", 1))
+        mesh = make_mesh(n_data=cfg["world_size"] // n_model, n_model=n_model)
     results = []
     for i in range(cfg.get("num_experiments", 1)):
         seed = cfg["init_seed"] + i
