@@ -132,9 +132,11 @@ def bench_sampling(model_name, model, variables, cfg):
         dt = time.perf_counter() - t0
         _emit(f"{model_name}_samples_per_sec", SAMPLE_N * reps / dt, "samples/sec/chip")
     elif fam == "pixelcnn":
-        from mcgm_tpu.models.pixelcnn import sample_codes
+        # production path: cached-activation incremental sampler
+        from mcgm_tpu.models.pixelcnn import sample_codes_incremental
 
-        fn = jax.jit(lambda v, C, rng: sample_codes(model.apply, v, C, rng, (8, 8)))
+        fn = jax.jit(
+            lambda v, C, rng: sample_codes_incremental(model, v, C, rng, (8, 8)))
         out = fn(variables, C, rng)
         out = fn(variables, C, rng)
         jax.block_until_ready(out)

@@ -86,3 +86,24 @@ def test_loss_is_ce_over_codes():
     logp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
     ref = -logp[..., 0].mean()
     assert abs(float(out["loss"]) - ref) < 1e-4
+
+
+def test_incremental_sampler_matches_full():
+    """sample_codes_incremental reproduces sample_codes exactly: same rng →
+    identical codes, and its per-position logits equal a full forward on the
+    final image (causality: logits at (i,j) only see positions < (i,j))."""
+    from mcgm_tpu.models.pixelcnn import sample_codes_incremental
+
+    for cls in (MCPixelCNN, CPixelCNN):
+        m, v = _build(cls)
+        C = jnp.array([0, 1, 2, 3])
+        rng = jax.random.PRNGKey(5)
+        full = np.asarray(sample_codes(m.apply, v, C, rng, grid_hw=(6, 6)))
+        inc, logits = sample_codes_incremental(m, v, C, rng, grid_hw=(6, 6),
+                                               return_logits=True)
+        inc, logits = np.asarray(inc), np.asarray(logits)
+        assert np.array_equal(full, inc), cls.__name__
+        ref_logits = np.asarray(
+            m.apply(v, {"img": jnp.asarray(inc), "label": C}, False)["logits"]
+        )
+        assert np.allclose(logits, ref_logits, atol=1e-4), cls.__name__
