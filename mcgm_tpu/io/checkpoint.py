@@ -18,6 +18,8 @@ import os
 import shutil
 import threading
 
+import jax
+
 from ..utils import ckpt_path, load, makedir_exist_ok, save, to_numpy_tree
 
 
@@ -31,20 +33,41 @@ class AsyncCheckpointer:
     """Overlap the checkpoint fetch+pickle+write (and the optional _best
     copy) with the next epoch's compute.
 
-    jax arrays are immutable, so handing the live state trees to a writer
-    thread is safe — the device fetch sees exactly the values at submit
-    time while the main thread keeps dispatching steps. One outstanding
-    write at a time (epoch N+1's submit joins epoch N's writer), matching
-    the reference's at-most-one-epoch-lost guarantee
-    (reference train_vae.py:83-92).
+    Immutability alone is NOT enough to hand live state trees to a writer
+    thread: the train steps donate their TrainState (``donate_argnums=0``),
+    so the next epoch's first step consumes the very buffers the writer
+    would still be fetching — observed as ``Array has been deleted`` in the
+    writer (or a hung fetch, since a jitted identity aliases its input
+    buffer on this backend). ``submit`` therefore snapshots every device
+    array through ONE jitted ``Array.copy()`` program on the main thread —
+    an async device-to-device copy into fresh buffers that donation cannot
+    touch — before the writer starts. One outstanding write at a time
+    (epoch N+1's submit joins epoch N's writer), matching the reference's
+    at-most-one-epoch-lost guarantee (reference train_vae.py:83-92).
     """
 
     def __init__(self):
         self._thread: threading.Thread | None = None
 
+    @staticmethod
+    @jax.jit
+    def _device_copy(arrs):
+        return [a.copy() for a in arrs]
+
+    @classmethod
+    def _snapshot(cls, payload):
+        leaves, treedef = jax.tree_util.tree_flatten(payload)
+        idx = [i for i, l in enumerate(leaves) if isinstance(l, jax.Array)]
+        if idx:
+            copies = cls._device_copy([leaves[i] for i in idx])
+            for i, c in zip(idx, copies):
+                leaves[i] = c
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
     def submit(self, cfg: dict, tag: str, payload: dict,
                copy_to_best: bool = False) -> None:
         self.wait()
+        payload = self._snapshot(payload)
 
         def work():
             save_checkpoint(cfg, tag, payload)

@@ -101,3 +101,28 @@ def test_scheduler_reduces_lr_on_plateau(tmp_output):
     exp.scheduler.step(1.0)
     exp.scheduler.step(1.0)  # no improvement → reduce
     assert exp.scheduler.lr < lr0
+
+
+def test_async_checkpointer_survives_donation(tmp_output):
+    """The writer thread must see a snapshot that outlives the train step's
+    buffer donation (regression: 'Array has been deleted' / corrupted reads
+    when the next epoch's donated step consumed the live TrainState while
+    the writer was still fetching it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcgm_tpu.io.checkpoint import AsyncCheckpointer, load_checkpoint
+
+    cfg = make_tiny_cfg("mcvae", tmp_dir=tmp_output)
+    x = jnp.arange(16, dtype=jnp.float32)
+    jax.block_until_ready(x)
+    ck = AsyncCheckpointer()
+    ck.submit(cfg, "donation_test", {"model_dict": {"w": x}, "epoch": 1})
+    # donate x away immediately — the classic race window
+    burn = jax.jit(lambda t: t * 2, donate_argnums=0)
+    y = burn(x)
+    jax.block_until_ready(y)
+    ck.wait()
+    ckpt = load_checkpoint(cfg, "donation_test")
+    assert np.array_equal(ckpt["model_dict"]["w"],
+                          np.arange(16, dtype=np.float32))
