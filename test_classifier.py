@@ -1,0 +1,6 @@
+#!/usr/bin/env python
+"""Reference-compatible CLI shim (analog of reference src/test_classifier.py)."""
+from mcgm_tpu.cli.test_model import main
+
+if __name__ == "__main__":
+    main(model_name="classifier")

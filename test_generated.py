@@ -1,0 +1,6 @@
+#!/usr/bin/env python
+"""Reference-compatible CLI shim (analog of reference src/test_generated.py)."""
+from mcgm_tpu.cli.test_generated import main
+
+if __name__ == "__main__":
+    main("generated")
