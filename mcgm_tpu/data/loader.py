@@ -92,8 +92,11 @@ class DataLoader:
             idx = order[start:start + bs]
             true_n = len(idx)
             if self.pad_to_batch and true_n < bs:
-                # pad by wrapping from the epoch head; 'n' carries the truth
-                idx = np.concatenate([idx, order[: bs - true_n]])
+                # pad by tiling from the epoch head (modular, so even a
+                # dataset smaller than the pad fills the fixed SPMD batch
+                # shape); 'n' carries the truth for weighting
+                pad = np.take(order, np.arange(bs - true_n), mode="wrap")
+                idx = np.concatenate([idx, pad])
             if self.sharding is not None:
                 img = self.dataset.img[idx]
                 lab = self.dataset.labels[idx]

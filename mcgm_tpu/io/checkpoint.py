@@ -48,6 +48,7 @@ class AsyncCheckpointer:
 
     def __init__(self):
         self._thread: threading.Thread | None = None
+        self._error: BaseException | None = None
 
     @staticmethod
     @jax.jit
@@ -70,17 +71,26 @@ class AsyncCheckpointer:
         payload = self._snapshot(payload)
 
         def work():
-            save_checkpoint(cfg, tag, payload)
-            if copy_to_best:
-                copy_best(cfg, tag)
+            try:
+                save_checkpoint(cfg, tag, payload)
+                if copy_to_best:
+                    copy_best(cfg, tag)
+            except BaseException as e:  # re-raised on the main thread
+                self._error = e
 
         self._thread = threading.Thread(target=work, daemon=True)
         self._thread.start()
 
     def wait(self) -> None:
+        """Join the outstanding write; re-raise any writer failure here so a
+        full disk / unpicklable payload surfaces in the training loop
+        instead of silently leaving stale checkpoints behind."""
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        err, self._error = getattr(self, "_error", None), None
+        if err is not None:
+            raise RuntimeError("async checkpoint write failed") from err
 
 
 def copy_best(cfg: dict, tag: str):

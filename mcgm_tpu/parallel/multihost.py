@@ -28,11 +28,17 @@ def initialize(**kwargs) -> None:
 
     kwargs (coordinator_address, num_processes, process_id, ...) are passed
     straight to ``jax.distributed.initialize``. Skips only when the
-    distributed client is already up (process_count > 1 means a launcher
-    such as the TPU pod runtime initialized it first).
+    distributed client object already exists (a launcher such as the TPU
+    pod runtime initialized it first). CRITICAL ordering constraint: this
+    must not touch the XLA backend before initializing — even an innocent
+    ``jax.process_count()`` instantiates the local backend, after which
+    ``jax.distributed.initialize`` unconditionally raises — so the
+    already-wired check reads the distributed global state directly.
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
+    from jax._src import distributed
+
+    if distributed.global_state.client is not None:
+        return  # already initialized by the launcher / an earlier call
     try:
         jax.distributed.initialize(**kwargs)
     except Exception:

@@ -32,8 +32,7 @@ from ..config import make_model_tag, process_control
 from ..data import fetch_dataset, make_data_loader, process_dataset
 from ..evals.features import extract_real_features, make_feature_fn
 from ..evals.metrics import Metric, make_device_metrics
-from ..io.checkpoint import (AsyncCheckpointer, load_checkpoint,
-                             save_checkpoint)
+from ..io.checkpoint import AsyncCheckpointer, load_checkpoint
 from ..models import build_model
 from ..report.logger import Logger
 from ..report.profiling import StepTimer
@@ -237,6 +236,20 @@ class Experiment:
         if fam == "glow":
             self._ddi_pending = True
 
+    def _flush_buffered(self, buffered: list, split: str) -> None:
+        """Land buffered on-device (metrics, n) pairs as ONE stacked
+        host transfer and append them to the logger (a per-step float()
+        costs a full host-device round trip — ~31 ms on a tunneled chip)."""
+        if not buffered:
+            return
+        names = sorted(buffered[0][0].keys())
+        stacked = np.asarray(jnp.stack(
+            [jnp.stack([m[k] for k in names]) for m, _ in buffered]))
+        for row, (_, n_i) in zip(stacked, buffered):
+            self.logger.append(
+                {k: float(v) for k, v in zip(names, row)}, split, n_i)
+        buffered.clear()
+
     def _wrap_metrics(self, step):
         def wrapped(ts, batch):
             ts, aux = step(ts, batch)
@@ -309,21 +322,25 @@ class Experiment:
         if self.family == "glow" and getattr(self, "_ddi_pending", False) \
                 and last_epoch == 1:
             self._run_ddi()
-        for epoch in range(last_epoch, num_epochs + 1):
-            self.logger.safe(True)
-            self.train_epoch(epoch)
-            self.test_epoch(epoch)
-            pivot_val = self.logger.mean.get(f"test/{cfg['pivot_metric']}")
-            self._scheduler_step(pivot_val)
-            self.logger.safe(False)
-            # when the pivot metric is unavailable (e.g. no feature model for
-            # IS), every epoch counts as an improvement → best = latest
-            improved = pivot_val is None or self._improved(pivot_val, pivot)
-            if improved and pivot_val is not None:
-                pivot = pivot_val
-            self._checkpoint(epoch, copy_to_best=improved)
-            self.logger.reset()
-        self._ckpt_writer.wait()  # files must exist when run() returns
+        try:
+            for epoch in range(last_epoch, num_epochs + 1):
+                self.logger.safe(True)
+                self.train_epoch(epoch)
+                self.test_epoch(epoch)
+                pivot_val = self.logger.mean.get(f"test/{cfg['pivot_metric']}")
+                self._scheduler_step(pivot_val)
+                self.logger.safe(False)
+                # when the pivot metric is unavailable (e.g. no feature model
+                # for IS), every epoch counts as an improvement → best = latest
+                improved = pivot_val is None or self._improved(pivot_val, pivot)
+                if improved and pivot_val is not None:
+                    pivot = pivot_val
+                self._checkpoint(epoch, copy_to_best=improved)
+                self.logger.reset()
+        finally:
+            # join (and surface failures from) the async writer even when the
+            # loop raises — never leave it mid-write at interpreter exit
+            self._ckpt_writer.wait()
         return self.logger
 
     def _improved(self, value, pivot):
@@ -377,15 +394,7 @@ class Experiment:
         buffered: list = []
 
         def flush():
-            if not buffered:
-                return
-            names = sorted(buffered[0][0].keys())
-            stacked = np.asarray(jnp.stack(
-                [jnp.stack([m[k] for k in names]) for m, _ in buffered]))
-            for row, (_, n_i) in zip(stacked, buffered):
-                self.logger.append(
-                    {k: float(v) for k, v in zip(names, row)}, "train", n_i)
-            buffered.clear()
+            self._flush_buffered(buffered, "train")
 
         t0 = time.time()
         seen = 0
@@ -449,13 +458,7 @@ class Experiment:
             self.rng, k = jax.random.split(self.rng)
             out = self.eval_step(self.ts.params, self.ts.state, batch, k)
             buffered.append((self.test_metrics(batch, out), n))
-        if buffered:
-            names = sorted(buffered[0][0].keys())
-            stacked = np.asarray(jnp.stack(
-                [jnp.stack([m[k2] for k2 in names]) for m, _ in buffered]))
-            for row, (_, n_i) in zip(stacked, buffered):
-                self.logger.append(
-                    {k2: float(v) for k2, v in zip(names, row)}, "test", n_i)
+        self._flush_buffered(buffered, "test")
         if cfg.get("show") and out is not None and "img" in out:
             from ..io.images import save_image_grid
             from ..utils import vis_path
@@ -622,6 +625,11 @@ def run_experiments(cfg: dict, num_epochs: int | None = None, mesh=None):
         from ..parallel import make_mesh
 
         n_model = int(cfg.get("model_size", 1))
+        if n_model < 1 or cfg["world_size"] % n_model:
+            raise ValueError(
+                f"model_size ({n_model}) must divide world_size "
+                f"({cfg['world_size']})"
+            )
         mesh = make_mesh(n_data=cfg["world_size"] // n_model, n_model=n_model)
     results = []
     for i in range(cfg.get("num_experiments", 1)):

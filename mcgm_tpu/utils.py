@@ -17,15 +17,25 @@ def makedir_exist_ok(path: str) -> None:
 
 
 def save(obj, path: str, mode: str = "pickle") -> None:
-    """Persist an object (reference src/utils.py:26-36 analog)."""
-    makedir_exist_ok(os.path.dirname(path) or ".")
-    if mode == "pickle":
-        with open(path, "wb") as f:
-            pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)
-    elif mode == "numpy":
-        np.save(path, obj, allow_pickle=True)
-    else:
+    """Persist an object (reference src/utils.py:26-36 analog).
+
+    Atomic: writes to ``path + '.tmp'`` then ``os.replace``s into place, so
+    an interrupted process (e.g. the async checkpoint writer killed mid-
+    pickle) can never leave a truncated file where the last good checkpoint
+    was — resume either sees the old complete file or the new one.
+    """
+    if mode not in ("pickle", "numpy"):
         raise ValueError("Not valid save mode")
+    makedir_exist_ok(os.path.dirname(path) or ".")
+    if mode == "numpy" and not path.endswith(".npy"):
+        path = path + ".npy"  # np.save's own suffix convention
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        if mode == "pickle":
+            pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)
+        else:
+            np.save(f, obj, allow_pickle=True)
+    os.replace(tmp, path)
 
 
 def load(path: str, mode: str = "pickle"):

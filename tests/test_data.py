@@ -158,3 +158,27 @@ def test_normalize_matches_reference_convention():
     out = np.asarray(normalize_images(x))
     expected = (x.astype(np.float32) / 255.0 - 0.5) / 0.5
     np.testing.assert_allclose(out, expected, atol=1e-6)
+
+
+def test_pad_to_batch_tiles_small_datasets():
+    """Padding must tile modularly: a dataset smaller than the pad still
+    fills the fixed SPMD batch shape (code-review finding: wrap-once left
+    the batch short)."""
+    import numpy as np
+
+    from mcgm_tpu.data.loader import DataLoader
+
+    ds_img = np.zeros((3, 4, 4, 1), np.uint8)
+    ds_lab = np.arange(3, dtype=np.int64)
+
+    class _DS:
+        img = ds_img
+        labels = ds_lab
+
+        def __len__(self):
+            return 3
+
+    dl = DataLoader(_DS(), batch_size=8, shuffle=False, pad_to_batch=True)
+    batches = list(dl)
+    assert batches[0]["img"].shape[0] == 8
+    assert batches[0]["n"] == 3

@@ -42,6 +42,40 @@ def test_initialize_kwargs_failure_raises(monkeypatch):
         multihost.initialize(coordinator_address="10.0.0.1:1234")
 
 
+def test_initialize_touches_no_backend_first(monkeypatch):
+    """jax.distributed.initialize must be reached WITHOUT first touching the
+    XLA backend: even jax.process_count() instantiates it, after which real
+    initialization unconditionally raises (code-review finding). Guard that
+    the already-wired check reads distributed global state, not the backend."""
+    called = {}
+
+    def fake_init(**kwargs):
+        called.update(kwargs)
+
+    def trap(*a, **k):
+        raise AssertionError("initialize() touched the XLA backend "
+                             "before jax.distributed.initialize")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    monkeypatch.setattr(jax, "process_count", trap)
+    monkeypatch.setattr(jax, "devices", trap)
+    multihost.initialize(coordinator_address="10.0.0.1:1234", num_processes=2,
+                         process_id=0)
+    assert called["num_processes"] == 2
+
+
+def test_initialize_skips_when_already_wired(monkeypatch):
+    from jax._src import distributed
+
+    def boom(**kwargs):
+        raise AssertionError("re-initialized an already-wired client")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    monkeypatch.setattr(distributed.global_state, "client", object(),
+                        raising=False)
+    multihost.initialize(coordinator_address="10.0.0.1:1234")  # no-op
+
+
 def test_local_batch_slice_single_host():
     start, stop = multihost.local_batch_slice(64)
     assert (start, stop) == (0, 64)

@@ -126,3 +126,46 @@ def test_async_checkpointer_survives_donation(tmp_output):
     ckpt = load_checkpoint(cfg, "donation_test")
     assert np.array_equal(ckpt["model_dict"]["w"],
                           np.arange(16, dtype=np.float32))
+
+
+def test_async_checkpointer_surfaces_writer_errors(tmp_output):
+    """A failed write (full disk, unpicklable payload) must raise on the
+    main thread at the next wait()/submit(), not die silently in the
+    writer thread leaving stale checkpoints (code-review finding)."""
+    import pytest
+
+    from mcgm_tpu.io import checkpoint as ck
+
+    cfg = make_tiny_cfg("mcvae", tmp_dir=tmp_output)
+    c = ck.AsyncCheckpointer()
+
+    def boom(*a, **k):
+        raise IOError("disk full")
+
+    orig = ck.save_checkpoint
+    ck.save_checkpoint = boom
+    try:
+        c.submit(cfg, "errtest", {"epoch": 1})
+        with pytest.raises(RuntimeError, match="async checkpoint"):
+            c.wait()
+    finally:
+        ck.save_checkpoint = orig
+    # error is consumed: the next cycle works again
+    c.submit(cfg, "errtest", {"epoch": 2})
+    c.wait()
+
+
+def test_save_is_atomic(tmp_path):
+    """save() must never leave a truncated file at the destination: the
+    write goes to .tmp and is os.replace'd (code-review finding: the async
+    writer can be killed mid-write at interpreter exit)."""
+    from mcgm_tpu.utils import load, save
+
+    p = str(tmp_path / "x.pkl")
+    save({"a": 1}, p)
+    assert load(p) == {"a": 1}
+    assert not os.path.exists(p + ".tmp")
+    # numpy mode keeps np.save's suffix convention
+    pn = str(tmp_path / "y")
+    save(np.arange(3), pn, mode="numpy")
+    assert np.array_equal(load(pn + ".npy", mode="numpy"), np.arange(3))
