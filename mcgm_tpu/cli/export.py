@@ -1,0 +1,46 @@
+"""Export a trained model's generate path as a serving artifact.
+
+``python -m mcgm_tpu.cli.export --model_name mcgan --data_name CIFAR10
+--control_name 0.5 [--platforms cpu,tpu] [--batch b|N]`` writes
+``output/export/{tag}.stablehlo`` — self-contained (weights baked in),
+loadable with plain JAX via ``mcgm_tpu.io.export.load_artifact`` (or eight
+lines of ``jax.export.deserialize``), no model code needed on the server.
+No reference counterpart: the reference serves from torch pickles that
+require its Python model classes (reference generate.py:38-52).
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..config import make_model_tag, process_control
+from ..data import fetch_dataset, process_dataset
+from ..io.export import export_sampler, save_artifact
+from ..train.loop import apply_family_overrides
+from ..workflows import load_sampler
+from ._common import parse_cfg
+
+
+def main(argv=None, **defaults):
+    cfg = parse_cfg(argv, **defaults)
+    cfg = apply_family_overrides(process_control(cfg))
+    dataset = fetch_dataset(cfg["data_name"], cfg["subset"],
+                            cfg.get("data_dir", "./data"))
+    cfg = process_dataset(dataset["train"], cfg)
+    platforms = cfg.get("platforms")
+    if isinstance(platforms, str):
+        platforms = tuple(platforms.split(","))
+    batch = cfg.get("export_batch", "b")
+    for i in range(cfg.get("num_experiments", 1)):
+        seed = cfg["init_seed"] + i
+        tag = make_model_tag(cfg, seed)
+        print(f"Export: {tag}")
+        sampler = load_sampler(cfg, tag)
+        blob = export_sampler(sampler, batch=batch, platforms=platforms)
+        path = os.path.join(cfg["output_dir"], "export", f"{tag}.stablehlo")
+        save_artifact(blob, path)
+        print(f"wrote {path} ({len(blob) / 1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main()

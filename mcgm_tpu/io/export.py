@@ -1,0 +1,84 @@
+"""Serving artifacts: the generate path as serialized StableHLO.
+
+The reference has no deployment story beyond torch pickles that need the
+model's Python class on the serving host (reference generate.py:38-52 loads
+src/models/*). Here the trained generate function — weights baked in as
+constants — exports through ``jax.export`` to a self-contained, versioned
+StableHLO artifact: loadable and runnable with plain JAX (no mcgm_tpu, no
+model code) on any platform it was lowered for, with a symbolic batch
+dimension so one artifact serves any request size.
+
+Families: vae/gan take ``(C, z)``; glow takes ``(C, [z_l per level])``;
+pixelcnn takes ``(C, rng)`` and bakes the full incremental autoregressive
+sampler + frozen-AE decode into the artifact.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+
+def export_sampler(sampler, batch: int | str = "b",
+                   platforms: tuple | None = None) -> bytes:
+    """Serialize ``sampler``'s generate function (weights baked in).
+
+    ``batch``: an int for a fixed batch size, or a symbolic-dimension name
+    (default ``"b"``) so the artifact accepts any batch size.
+    ``platforms``: lowering targets, e.g. ``("cpu", "tpu")``; None = the
+    current default backend.
+    """
+    fam = sampler.family
+    model, variables = sampler.model, sampler.variables
+    b = (jexport.symbolic_shape(batch)[0] if isinstance(batch, str)
+         else batch)
+    C = jax.ShapeDtypeStruct((b,), jnp.int32)
+    if fam in ("vae", "gan"):
+        def fn(C, z):
+            return model.apply(variables, C, z, method="generate")
+
+        args = (C, jax.ShapeDtypeStruct((b, model.latent_size), jnp.float32))
+    elif fam == "glow":
+        def fn(C, z):
+            return model.apply(variables, C, z, method="generate")
+
+        args = (C, [jax.ShapeDtypeStruct((b, *s), jnp.float32)
+                    for s in model.make_z_shapes()])
+    elif fam == "pixelcnn":
+        from ..models.pixelcnn import sample_codes_incremental
+
+        grid = (sampler.cfg["data_shape"][0] // 4,) * 2
+
+        def fn(C, rng):
+            codes = sample_codes_incremental(model, variables, C, rng, grid)
+            return sampler.ae_model.apply(sampler.ae_variables, codes,
+                                          method="decode_code")
+
+        args = (C, jax.ShapeDtypeStruct((2,), jnp.uint32))
+    else:
+        raise ValueError(f"family {fam} cannot be exported for serving")
+    kw = {} if platforms is None else {"platforms": list(platforms)}
+    return jexport.export(jax.jit(fn), **kw)(*args).serialize()
+
+
+def load_serving_fn(blob: bytes):
+    """Rehydrate an exported artifact into a callable — needs only JAX."""
+    return jexport.deserialize(blob).call
+
+
+def save_artifact(blob: bytes, path: str) -> None:
+    import os
+
+    from ..utils import makedir_exist_ok
+
+    makedir_exist_ok(os.path.dirname(path) or ".")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_artifact(path: str):
+    with open(path, "rb") as f:
+        return load_serving_fn(f.read())

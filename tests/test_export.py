@@ -1,0 +1,91 @@
+"""Serving-artifact export: jax.export round trips per family.
+
+The artifact must be self-contained (weights baked in), accept a symbolic
+batch dimension, and reproduce the live sampler's outputs exactly — all
+through ``deserialize(...).call`` with no mcgm_tpu code in the loop.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from conftest import make_tiny_cfg
+from mcgm_tpu.io.export import (export_sampler, load_artifact,
+                                load_serving_fn, save_artifact)
+from mcgm_tpu.models import build_model
+from mcgm_tpu.train.state import jit_init
+from mcgm_tpu.workflows.sampling import Sampler
+
+K = jax.random.PRNGKey(0)
+
+
+def _sampler(model_name, **extra):
+    cfg = make_tiny_cfg(model_name)
+    cfg["classes_size"] = 10
+    model = build_model(cfg)
+    img = (jnp.zeros((2, 8, 8), jnp.int32) if model_name.endswith("pixelcnn")
+           else jnp.zeros((2, *cfg["data_shape"])))
+    batch = {"img": img, "label": jnp.zeros((2,), jnp.int32)}
+    rngs = {"params": K, "z": K, "reparam": K, "noise": K}
+    v = jit_init(model, rngs, batch, train=False)
+    return Sampler(cfg, model, v, **extra)
+
+
+def test_export_gan_symbolic_batch_roundtrip():
+    s = _sampler("mcgan")
+    blob = export_sampler(s, batch="b")
+    fn = load_serving_fn(blob)
+    for B in (3, 5):  # one artifact, multiple batch sizes
+        C = jnp.arange(B, dtype=jnp.int32) % 10
+        z = jax.random.normal(jax.random.PRNGKey(B), (B, s.model.latent_size))
+        got = np.asarray(fn(C, z))
+        want = np.asarray(s.model.apply(s.variables, C, z, method="generate"))
+        assert got.shape == want.shape == (B, 32, 32, 3)
+        assert np.allclose(got, want, atol=1e-5)
+
+
+def test_export_vae_and_file_roundtrip(tmp_path):
+    s = _sampler("mcvae")
+    blob = export_sampler(s, batch="b")
+    path = str(tmp_path / "m.stablehlo")
+    save_artifact(blob, path)
+    fn = load_artifact(path)
+    C = jnp.arange(4, dtype=jnp.int32) % 10
+    z = jax.random.normal(K, (4, s.model.latent_size))
+    got = np.asarray(fn(C, z))
+    want = np.asarray(s.model.apply(s.variables, C, z, method="generate"))
+    assert np.allclose(got, want, atol=1e-5)
+
+
+def test_export_glow_z_cascade():
+    s = _sampler("mcglow")
+    blob = export_sampler(s, batch="b")
+    fn = load_serving_fn(blob)
+    B = 3
+    C = jnp.arange(B, dtype=jnp.int32) % 10
+    z = [jax.random.normal(k, (B, *sh)) for k, sh in
+         zip(jax.random.split(K, len(s.model.make_z_shapes())),
+             s.model.make_z_shapes())]
+    got = np.asarray(fn(C, z))
+    want = np.asarray(s.model.apply(s.variables, C, z, method="generate"))
+    assert np.allclose(got, want, atol=1e-4)
+
+
+def test_export_pixelcnn_full_autoregressive():
+    """The artifact bakes the incremental AR sampler + frozen-AE decode."""
+    ae = _sampler("vqvae")
+    s = _sampler("mcpixelcnn")
+    s.ae_model, s.ae_variables = ae.model, ae.variables
+    s.cfg["data_shape"] = (32, 32, 3)
+    blob = export_sampler(s, batch="b")
+    fn = load_serving_fn(blob)
+    B = 2
+    C = jnp.arange(B, dtype=jnp.int32) % 10
+    rng = jax.random.PRNGKey(7)
+    got = np.asarray(fn(C, rng))
+    from mcgm_tpu.models.pixelcnn import sample_codes_incremental
+
+    codes = sample_codes_incremental(s.model, s.variables, C, rng, (8, 8))
+    want = np.asarray(ae.model.apply(ae.variables, codes,
+                                     method="decode_code"))
+    assert np.allclose(got, want, atol=1e-5)
