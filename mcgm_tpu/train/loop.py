@@ -208,7 +208,8 @@ class Experiment:
             step = make_gan_train_step(self.model, self.g_opt, self.d_opt,
                                        d_iter=go["iter"]["discriminator"],
                                        loss_type=cfg["loss_type"],
-                                       unroll=cfg.get("gan_scan_unroll", 1))
+                                       unroll=cfg.get("gan_scan_unroll", 1),
+                                       remat=cfg.get("remat", False))
             self.ts, step = self._place_state(self.ts, step)
             self.train_step = jax.jit(step, donate_argnums=0)
             self.generate_fn = jax.jit(
@@ -228,7 +229,7 @@ class Experiment:
         self.scheduler = Scheduler(cfg)
         step = make_train_step(self.model, self.optimizer,
                                rng_streams=streams,
-                               )
+                               remat=cfg.get("remat", False))
         self.ts, step = self._place_state(self.ts, step)
         self.train_step = jax.jit(self._wrap_metrics(step), donate_argnums=0)
         ev = make_eval_step(self.model, rng_streams=streams)

@@ -116,3 +116,69 @@ def test_gan_bce_loss_variant():
     ts, m = step(ts, batch)
     assert np.isfinite(float(m["Loss_D"]))
     assert np.isfinite(float(m["Loss_G"]))
+
+
+def test_remat_matches_plain_gradients():
+    """cfg['remat'] (jax.checkpoint around the loss) must change memory, not
+    math: one train step with and without remat yields identical losses and
+    parameters (the 128px memory lever — docs/DESIGN.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conftest import make_tiny_cfg
+    from mcgm_tpu.models import build_model
+    from mcgm_tpu.train.optim import make_optimizer
+    from mcgm_tpu.train.state import (GANTrainState, TrainState, jit_init,
+                                      make_gan_train_step, make_train_step,
+                                      split_variables)
+
+    K = jax.random.PRNGKey(0)
+    # generic family (mcvae)
+    cfg = make_tiny_cfg("mcvae")
+    cfg["classes_size"] = 10
+    model = build_model(cfg)
+    batch = {"img": jax.random.uniform(K, (8, *cfg["data_shape"]),
+                                       minval=-1, maxval=1),
+             "label": jnp.arange(8) % 10}
+    v = model.init({"params": K, "reparam": K}, batch, train=True)
+    params, state = split_variables(v)
+    opt = make_optimizer(cfg, grad_clip=1.0)
+    outs = []
+    for remat in (False, True):
+        ts = TrainState(params=params, state=state,
+                        opt_state=opt.init(params), rng=jax.random.PRNGKey(1))
+        step = jax.jit(make_train_step(model, opt, rng_streams=("reparam",),
+                                       remat=remat))
+        ts2, aux = step(ts, batch)
+        outs.append((float(aux["loss"]), ts2.params))
+    assert outs[0][0] == outs[1][0]
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
+                    jax.tree_util.tree_leaves(outs[1][1])):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # gan family
+    cfg = make_tiny_cfg("mcgan")
+    cfg["classes_size"] = 10
+    model = build_model(cfg)
+    batch = {"img": jax.random.uniform(K, (8, 32, 32, 3), minval=-1, maxval=1),
+             "label": jnp.arange(8) % 10}
+    v = jit_init(model, {"params": K, "z": K}, batch, train=True)
+    params, state = split_variables(v)
+    g_opt = make_optimizer(cfg, 2e-4, (0.5, 0.999))
+    d_opt = make_optimizer(cfg, 2e-4, (0.5, 0.999))
+    res = []
+    for remat in (False, True):
+        ts = GANTrainState(
+            g_params=params["generator"], d_params=params["discriminator"],
+            state=state, g_opt_state=g_opt.init(params["generator"]),
+            d_opt_state=d_opt.init(params["discriminator"]),
+            rng=jax.random.PRNGKey(2))
+        step = jax.jit(make_gan_train_step(model, g_opt, d_opt, d_iter=2,
+                                           remat=remat))
+        ts2, m = step(ts, batch)
+        res.append((float(m["Loss_D"]), float(m["Loss_G"]), ts2.g_params))
+    assert res[0][:2] == res[1][:2]
+    for a, b in zip(jax.tree_util.tree_leaves(res[0][2]),
+                    jax.tree_util.tree_leaves(res[1][2])):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
