@@ -103,11 +103,22 @@ def read_idx(path: str) -> np.ndarray:
 
 
 def _resize_batch(img: np.ndarray, res: int = _RES) -> np.ndarray:
-    """Bilinear-resize a uint8 [N,H,W(,C)] stack via PIL (pack-time only)."""
+    """Bilinear-resize a uint8 [N,H,W(,C)] stack (pack-time only).
+
+    Native tier: the batch goes through fastimage's OpenMP resampler
+    (native/fastimage.cpp, PIL-triangle-filter semantics, parity-tested in
+    tests/test_native.py) when the library is built; per-item PIL otherwise.
+    Replaces the reference's per-item transform pipeline (src/data.py)."""
     if img.shape[1] == res and img.shape[2] == res:
         if img.ndim == 3:
             img = img[..., None]
         return np.ascontiguousarray(img)
+    squeeze = img.ndim == 3
+    from ..io.native import resize_bilinear_u8
+
+    native = resize_bilinear_u8(img[..., None] if squeeze else img, res)
+    if native is not None:
+        return native
     from PIL import Image
 
     out = np.empty((len(img), res, res) + img.shape[3:], np.uint8)
