@@ -1,0 +1,296 @@
+"""Import reference (PyTorch) checkpoints into mcgm_tpu variables.
+
+Migration path for users switching from the reference: a ``state_dict``
+saved by the reference's trainers (reference train_vae.py:109,
+``model.state_dict()`` inside the checkpoint pickle) converts into this
+framework's flax variables — params, batch_stats, and the MC ``codebook``
+collection — with the layout transposes the NCHW→NHWC move requires:
+
+- ``nn.Conv2d``      (out,in,kh,kw)  → HWIO (kh,kw,in,out)
+- ``ConvTranspose2d`` (in,out,kh,kw) → HWIO (kh,kw,in,out)
+- ``nn.Linear``       (out,in)       → (in,out)
+- BatchNorm weight/bias/running_* → bn scale/bias + batch_stats mean/var
+- MultimodalController ``codebook`` buffers → the ``codebook`` collection
+
+Key paths mirror the reference model constructors (e.g. mcvae.py:38-101's
+``Sequential`` indices); converted outputs are verified against live
+reference forwards in tests/test_torch_import.py. Accepts torch tensors or
+numpy arrays (torch itself is not required once the state_dict is numpy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _np(v) -> np.ndarray:
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().numpy()
+    return np.asarray(v, np.float32)
+
+
+class _SD:
+    """state_dict view with access tracking (unconsumed keys = mapping bug)."""
+
+    def __init__(self, sd: dict):
+        self.sd = dict(sd)
+        self.used: set = set()
+
+    def __call__(self, key: str) -> np.ndarray:
+        self.used.add(key)
+        return _np(self.sd[key])
+
+    def unused(self):
+        return [k for k in self.sd if k not in self.used
+                and not k.endswith("num_batches_tracked")]
+
+
+def _conv(sd: _SD, key: str, bias: bool = True) -> dict:
+    out = {"kernel": sd(f"{key}.weight").transpose(2, 3, 1, 0)}
+    if bias:
+        out["bias"] = sd(f"{key}.bias")
+    return out
+
+
+def _convT(sd: _SD, key: str) -> dict:
+    return {"kernel": sd(f"{key}.weight").transpose(2, 3, 0, 1),
+            "bias": sd(f"{key}.bias")}
+
+
+def _dense(sd: _SD, key: str, bias: bool = True) -> dict:
+    out = {"kernel": sd(f"{key}.weight").T}
+    if bias:
+        out["bias"] = sd(f"{key}.bias")
+    return out
+
+
+def _bn(sd: _SD, key: str) -> tuple[dict, dict]:
+    params = {"scale": sd(f"{key}.weight"), "bias": sd(f"{key}.bias")}
+    stats = {"mean": sd(f"{key}.running_mean"),
+             "var": sd(f"{key}.running_var")}
+    return {"bn": params}, {"bn": stats}
+
+
+def _code(sd: _SD, key: str) -> dict:
+    return {"codebook": sd(f"{key}.codebook")}
+
+
+def _hwc_perm(c: int, h: int, w: int) -> np.ndarray:
+    """Index array mapping HWC-flattened positions to CHW-flattened ones.
+
+    The reference flattens/reshapes encoder features in NCHW order
+    (mcvae.py:68 ``x.view(x.size(0), -1)``); this framework is NHWC — any
+    Dense/BatchNorm1d touching a flattened spatial tensor needs its feature
+    axis permuted CHW→HWC or the import silently scrambles the features."""
+    return np.arange(c * h * w).reshape(c, h, w).transpose(1, 2, 0).ravel()
+
+
+def _dense_in_perm(sd: _SD, key: str, perm: np.ndarray) -> dict:
+    """Linear whose INPUT is a CHW-flattened tensor (encoder mu/logvar)."""
+    return {"kernel": sd(f"{key}.weight")[:, perm].T,
+            "bias": sd(f"{key}.bias")}
+
+
+def _dense_out_perm(sd: _SD, key: str, perm: np.ndarray) -> dict:
+    """Linear whose OUTPUT is reshaped to (C,H,W) (decoder projection)."""
+    return {"kernel": sd(f"{key}.weight")[perm, :].T,
+            "bias": sd(f"{key}.bias")[perm]}
+
+
+def _bn_perm(sd: _SD, key: str, perm: np.ndarray) -> tuple[dict, dict]:
+    """BatchNorm1d over CHW-flattened features (decoder.linear BN)."""
+    params = {"scale": sd(f"{key}.weight")[perm],
+              "bias": sd(f"{key}.bias")[perm]}
+    stats = {"mean": sd(f"{key}.running_mean")[perm],
+             "var": sd(f"{key}.running_var")[perm]}
+    return {"bn": params}, {"bn": stats}
+
+
+def _mc_resblock(sd: _SD, base: str) -> tuple[dict, dict, dict]:
+    """reference mcvae.py:17-35 ResBlock → MCResBlock (conv.{0,1,3,4,5,6})."""
+    p, s = {}, {}
+    p["Conv_0"] = _conv(sd, f"{base}.conv.0.module")
+    p["BatchNorm_0"], s["BatchNorm_0"] = _bn(sd, f"{base}.conv.1.module")
+    p["Conv_1"] = _conv(sd, f"{base}.conv.4.module")
+    p["BatchNorm_1"], s["BatchNorm_1"] = _bn(sd, f"{base}.conv.5.module")
+    c = {"MultimodalController_0": _code(sd, f"{base}.conv.3"),
+         "MultimodalController_1": _code(sd, f"{base}.conv.6")}
+    return p, s, c
+
+
+def _resblock(sd: _SD, base: str) -> tuple[dict, dict]:
+    """plain ResBlock (reference cvae.py:16-31 / vqvae.py:9-24): unwrapped
+    Sequential — conv.{0,1,3,4}."""
+    p, s = {}, {}
+    p["Conv_0"] = _conv(sd, f"{base}.conv.0")
+    p["BatchNorm_0"], s["BatchNorm_0"] = _bn(sd, f"{base}.conv.1")
+    p["Conv_1"] = _conv(sd, f"{base}.conv.3")
+    p["BatchNorm_1"], s["BatchNorm_1"] = _bn(sd, f"{base}.conv.4")
+    return p, s
+
+
+def convert_mcvae(state_dict: dict, hidden_size, num_res_block: int,
+                  res: int = 32) -> dict:
+    """reference mcvae.py Encoder/Decoder → MCVAE variables."""
+    sd = _SD(state_dict)
+    L, R = len(hidden_size), num_res_block
+    eh = res // (2 ** L)
+    perm = _hwc_perm(hidden_size[-1], eh, eh)
+    enc_p, enc_s, enc_c = {}, {}, {}
+    for i in range(L):  # (conv, bn, relu, mc) groups: mcvae.py:41-49
+        enc_p[f"Conv_{i}"] = _conv(sd, f"encoder.blocks.{4 * i}.module")
+        enc_p[f"BatchNorm_{i}"], enc_s[f"BatchNorm_{i}"] = _bn(
+            sd, f"encoder.blocks.{4 * i + 1}.module")
+        enc_c[f"MultimodalController_{i}"] = _code(
+            sd, f"encoder.blocks.{4 * i + 3}")
+    for r in range(R):  # mcvae.py:50-51
+        p, s, c = _mc_resblock(sd, f"encoder.blocks.{4 * L + r}")
+        enc_p[f"MCResBlock_{r}"], enc_s[f"MCResBlock_{r}"] = p, s
+        enc_c[f"MCResBlock_{r}"] = c
+    enc_p["mu"] = _dense_in_perm(sd, "encoder.mu", perm)
+    enc_p["logvar"] = _dense_in_perm(sd, "encoder.logvar", perm)
+
+    dec_p, dec_s, dec_c = {}, {}, {}
+    dec_c["MultimodalController_0"] = _code(sd, "decoder.linear.0")
+    dec_p["Dense_0"] = _dense_out_perm(sd, "decoder.linear.1.module", perm)
+    dec_p["BatchNorm_0"], dec_s["BatchNorm_0"] = _bn_perm(
+        sd, "decoder.linear.2.module", perm)
+    dec_c["MultimodalController_1"] = _code(sd, "decoder.blocks.0")
+    for r in range(R):  # mcvae.py:84-86
+        p, s, c = _mc_resblock(sd, f"decoder.blocks.{1 + r}")
+        dec_p[f"MCResBlock_{r}"], dec_s[f"MCResBlock_{r}"] = p, s
+        dec_c[f"MCResBlock_{r}"] = c
+    for g in range(L - 1):  # upsample groups, mcvae.py:87-92
+        base = 1 + R + 4 * g
+        dec_p[f"ConvTranspose_{g}"] = _convT(sd, f"decoder.blocks.{base}.module")
+        dec_p[f"BatchNorm_{1 + g}"], dec_s[f"BatchNorm_{1 + g}"] = _bn(
+            sd, f"decoder.blocks.{base + 1}.module")
+        dec_c[f"MultimodalController_{2 + g}"] = _code(
+            sd, f"decoder.blocks.{base + 3}")
+    dec_p[f"ConvTranspose_{L - 1}"] = _convT(
+        sd, f"decoder.blocks.{1 + R + 4 * (L - 1)}.module")
+
+    if sd.unused():
+        raise ValueError(f"unmapped reference keys: {sd.unused()[:8]}")
+    return {
+        "params": {"encoder": enc_p, "decoder": dec_p},
+        "batch_stats": {"encoder": enc_s, "decoder": dec_s},
+        "codebook": {"encoder": enc_c, "decoder": dec_c},
+    }
+
+
+def convert_cvae(state_dict: dict, hidden_size, num_res_block: int,
+                 res: int = 32) -> dict:
+    """reference cvae.py → CVAE variables (class embedding instead of MC;
+    unwrapped Sequentials — no ``.module`` level)."""
+    sd = _SD(state_dict)
+    L, R = len(hidden_size), num_res_block
+    eh = res // (2 ** L)
+    perm = _hwc_perm(hidden_size[-1], eh, eh)
+    enc_p, enc_s = {}, {}
+    enc_p["embedding"] = _dense(sd, "encoder.embedding", bias=False)
+    for i in range(L):  # (conv, bn, relu) groups, cvae.py:38-45
+        enc_p[f"Conv_{i}"] = _conv(sd, f"encoder.blocks.{3 * i}")
+        enc_p[f"BatchNorm_{i}"], enc_s[f"BatchNorm_{i}"] = _bn(
+            sd, f"encoder.blocks.{3 * i + 1}")
+    for r in range(R):
+        p, s = _resblock(sd, f"encoder.blocks.{3 * L + r}")
+        enc_p[f"ResBlock_{r}"], enc_s[f"ResBlock_{r}"] = p, s
+    enc_p["mu"] = _dense_in_perm(sd, "encoder.mu", perm)
+    enc_p["logvar"] = _dense_in_perm(sd, "encoder.logvar", perm)
+
+    dec_p, dec_s = {}, {}
+    dec_p["embedding"] = _dense(sd, "decoder.embedding", bias=False)
+    dec_p["Dense_0"] = _dense_out_perm(sd, "decoder.linear.0", perm)
+    dec_p["BatchNorm_0"], dec_s["BatchNorm_0"] = _bn_perm(
+        sd, "decoder.linear.1", perm)
+    for r in range(R):
+        p, s = _resblock(sd, f"decoder.blocks.{r}")
+        dec_p[f"ResBlock_{r}"], dec_s[f"ResBlock_{r}"] = p, s
+    for g in range(L - 1):  # (convT, bn, relu) groups, cvae.py:85-88
+        base = R + 3 * g
+        dec_p[f"ConvTranspose_{g}"] = _convT(sd, f"decoder.blocks.{base}")
+        dec_p[f"BatchNorm_{1 + g}"], dec_s[f"BatchNorm_{1 + g}"] = _bn(
+            sd, f"decoder.blocks.{base + 1}")
+    dec_p[f"ConvTranspose_{L - 1}"] = _convT(
+        sd, f"decoder.blocks.{R + 3 * (L - 1)}")
+
+    if sd.unused():
+        raise ValueError(f"unmapped reference keys: {sd.unused()[:8]}")
+    return {
+        "params": {"encoder": enc_p, "decoder": dec_p},
+        "batch_stats": {"encoder": enc_s, "decoder": dec_s},
+    }
+
+
+def convert_vqvae(state_dict: dict, hidden_size, num_res_block: int) -> dict:
+    """reference vqvae.py → VQVAE variables incl. the EMA ``vq_stats``
+    buffers (modules.py:13-16 embedding/cluster_size/embedding_mean)."""
+    sd = _SD(state_dict)
+    L, R = len(hidden_size), num_res_block
+    enc_p, enc_s = {}, {}
+    for i in range(L):  # (conv, bn, relu) stages, vqvae.py:29-36
+        enc_p[f"Conv_{i}"] = _conv(sd, f"encoder.blocks.{3 * i}")
+        enc_p[f"BatchNorm_{i}"], enc_s[f"BatchNorm_{i}"] = _bn(
+            sd, f"encoder.blocks.{3 * i + 1}")
+    for r in range(R):
+        p, s = _resblock(sd, f"encoder.blocks.{3 * L + r}")
+        enc_p[f"ResBlock_{r}"], enc_s[f"ResBlock_{r}"] = p, s
+    enc_p[f"Conv_{L}"] = _conv(sd, f"encoder.blocks.{3 * L + R}")
+
+    dec_p, dec_s = {}, {}
+    dec_p["Conv_0"] = _conv(sd, "decoder.blocks.0")
+    dec_p["BatchNorm_0"], dec_s["BatchNorm_0"] = _bn(sd, "decoder.blocks.1")
+    for r in range(R):
+        p, s = _resblock(sd, f"decoder.blocks.{3 + r}")
+        dec_p[f"ResBlock_{r}"], dec_s[f"ResBlock_{r}"] = p, s
+    for g in range(L - 1):
+        base = 3 + R + 3 * g
+        dec_p[f"ConvTranspose_{g}"] = _convT(sd, f"decoder.blocks.{base}")
+        dec_p[f"BatchNorm_{1 + g}"], dec_s[f"BatchNorm_{1 + g}"] = _bn(
+            sd, f"decoder.blocks.{base + 1}")
+    dec_p[f"ConvTranspose_{L - 1}"] = _convT(
+        sd, f"decoder.blocks.{3 + R + 3 * (L - 1)}")
+
+    vq = {"quantizer": {"embedding": sd("quantizer.embedding"),
+                        "cluster_size": sd("quantizer.cluster_size"),
+                        "embedding_mean": sd("quantizer.embedding_mean")}}
+    if sd.unused():
+        raise ValueError(f"unmapped reference keys: {sd.unused()[:8]}")
+    return {
+        "params": {"encoder": enc_p, "decoder": dec_p},
+        "batch_stats": {"encoder": enc_s, "decoder": dec_s},
+        "vq_stats": vq,
+    }
+
+
+def convert_classifier(state_dict: dict, hidden_size, res: int = 32) -> dict:
+    """reference classifier.py → Classifier variables (4 conv-bn-relu[-pool]
+    stages at Sequential indices 0,4,8,12 + CHW-flattened linear head)."""
+    sd = _SD(state_dict)
+    p, s = {}, {}
+    for i in range(4):
+        p[f"Conv_{i}"] = _conv(sd, f"blocks.{4 * i}")
+        p[f"BatchNorm_{i}"], s[f"BatchNorm_{i}"] = _bn(sd, f"blocks.{4 * i + 1}")
+    eh = res // (2 ** (len(hidden_size) - 1))
+    perm = _hwc_perm(hidden_size[-1], eh, eh)
+    p["classifier"] = _dense_in_perm(sd, "classifier", perm)
+    if sd.unused():
+        raise ValueError(f"unmapped reference keys: {sd.unused()[:8]}")
+    return {"params": p, "batch_stats": s}
+
+
+CONVERTERS = {
+    "mcvae": convert_mcvae,
+    "cvae": convert_cvae,
+    "vqvae": convert_vqvae,
+    "classifier": convert_classifier,
+}
+
+
+def convert(model_name: str, state_dict: dict, **dims) -> dict:
+    if model_name not in CONVERTERS:
+        raise NotImplementedError(
+            f"no torch importer for {model_name!r} yet "
+            f"(have: {sorted(CONVERTERS)})")
+    return CONVERTERS[model_name](state_dict, **dims)

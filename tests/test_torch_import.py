@@ -1,0 +1,172 @@
+"""Reference checkpoint import: live torch-model → flax-variables parity.
+
+Builds the actual reference models (PUBLIC code at /root/reference/src,
+executed only to produce weights — never copied), converts their
+``state_dict`` through ``mcgm_tpu.io.torch_import.convert``, and asserts
+the flax forward reproduces the torch forward on the same inputs.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from mcgm_tpu.io.torch_import import convert
+
+REF = "/root/reference/src"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference source not present")
+
+
+def _load_reference(module_name, cls_name, **kwargs):
+    import importlib
+    import sys
+
+    old_cwd = os.getcwd()
+    sys.path.insert(0, REF)
+    os.chdir(REF)  # reference config.py reads ./config.yml
+    try:
+        config = importlib.import_module("config")
+        config.cfg["device"] = "cpu"
+        config.cfg["classes_size"] = 4
+        mod = importlib.import_module(f"models.{module_name}")
+        torch.manual_seed(0)
+        model = getattr(mod, cls_name)(**kwargs)
+    finally:
+        os.chdir(old_cwd)
+        sys.path.remove(REF)
+    return model.eval()
+
+
+def _tree_paths(tree):
+    return {jax.tree_util.keystr(p)
+            for p, _ in jax.tree_util.tree_leaves_with_path(tree)}
+
+
+def _forward_pair(ref_model, our_model, variables, rtol=1e-4, atol=1e-4):
+    rng = np.random.default_rng(0)
+    img = rng.uniform(-1, 1, (2, 3, 32, 32)).astype(np.float32)
+    label = np.array([1, 3])
+    with torch.no_grad():
+        ref_out = ref_model({"img": torch.tensor(img),
+                             "label": torch.tensor(label)})
+    batch = {"img": jnp.asarray(img.transpose(0, 2, 3, 1)),
+             "label": jnp.asarray(label)}
+    out = our_model.apply(variables, batch, train=False)
+    np.testing.assert_allclose(float(out["loss"]),
+                               float(ref_out["loss"]), rtol=rtol)
+    np.testing.assert_allclose(
+        np.asarray(out["img"]),
+        ref_out["img"].numpy().transpose(0, 2, 3, 1), atol=atol)
+
+
+def test_import_mcvae_forward_parity():
+    from mcgm_tpu.models.vae import MCVAE
+
+    ref = _load_reference("mcvae", "MCVAE", data_shape=(3, 32, 32),
+                          hidden_size=(8, 16), latent_size=8,
+                          num_res_block=1, num_mode=4, controller_rate=0.5)
+    variables = convert("mcvae", ref.state_dict(),
+                        hidden_size=(8, 16), num_res_block=1)
+    ours = MCVAE(data_shape=(32, 32, 3), hidden_size=(8, 16), latent_size=8,
+                 num_res_block=1, num_mode=4, controller_rate=0.5)
+    init = ours.init({"params": jax.random.PRNGKey(0),
+                      "reparam": jax.random.PRNGKey(1)},
+                     {"img": jnp.zeros((2, 32, 32, 3)),
+                      "label": jnp.zeros((2,), jnp.int32)}, train=True)
+    assert _tree_paths(init) == _tree_paths(variables)
+    _forward_pair(ref, ours, variables)
+
+
+def test_import_cvae_forward_parity():
+    from mcgm_tpu.models.vae import CVAE
+
+    ref = _load_reference("cvae", "CVAE", data_shape=(3, 32, 32),
+                          hidden_size=(8, 16), latent_size=8,
+                          num_res_block=1, num_mode=4, embedding_size=8)
+    variables = convert("cvae", ref.state_dict(),
+                        hidden_size=(8, 16), num_res_block=1)
+    ours = CVAE(data_shape=(32, 32, 3), hidden_size=(8, 16), latent_size=8,
+                num_res_block=1, num_mode=4, embedding_size=8)
+    init = ours.init({"params": jax.random.PRNGKey(0),
+                      "reparam": jax.random.PRNGKey(1)},
+                     {"img": jnp.zeros((2, 32, 32, 3)),
+                      "label": jnp.zeros((2,), jnp.int32)}, train=True)
+    assert _tree_paths(init) == _tree_paths(variables)
+    _forward_pair(ref, ours, variables)
+
+
+def test_import_vqvae_forward_parity():
+    from mcgm_tpu.models.vqvae import VQVAE
+
+    ref = _load_reference("vqvae", "VQVAE", data_shape=(3, 32, 32),
+                          hidden_size=(8, 8), num_res_block=1,
+                          embedding_size=8, num_embedding=16, vq_commit=0.25)
+    variables = convert("vqvae", ref.state_dict(),
+                        hidden_size=(8, 8), num_res_block=1)
+    ours = VQVAE(data_shape=(32, 32, 3), hidden_size=(8, 8), num_res_block=1,
+                 embedding_size=8, num_embedding=16, vq_commit=0.25)
+    init = ours.init({"params": jax.random.PRNGKey(0)},
+                     {"img": jnp.zeros((2, 32, 32, 3)),
+                      "label": jnp.zeros((2,), jnp.int32)}, train=True)
+    assert _tree_paths(init) == _tree_paths(variables)
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(-1, 1, (2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref({"img": torch.tensor(img),
+                       "label": torch.tensor([0, 1])})
+    batch = {"img": jnp.asarray(img.transpose(0, 2, 3, 1)),
+             "label": jnp.asarray([0, 1])}
+    out = ours.apply(variables, batch, train=False)
+    np.testing.assert_allclose(float(out["loss"]), float(ref_out["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out["code"]),
+                                  ref_out["code"].numpy())
+    np.testing.assert_allclose(
+        np.asarray(out["img"]),
+        ref_out["img"].numpy().transpose(0, 2, 3, 1), atol=1e-4)
+
+
+def test_import_classifier_forward_parity():
+    from mcgm_tpu.models.classifier import Classifier
+
+    ref = _load_reference("classifier", "Classifier",
+                          data_shape=(3, 32, 32), hidden_size=(8, 8, 8, 8),
+                          classes_size=4)
+    variables = convert("classifier", ref.state_dict(),
+                        hidden_size=(8, 8, 8, 8))
+    ours = Classifier(hidden_size=(8, 8, 8, 8), classes_size=4)
+    init = ours.init({"params": jax.random.PRNGKey(0)},
+                     {"img": jnp.zeros((2, 32, 32, 3)),
+                      "label": jnp.zeros((2,), jnp.int32)}, train=True)
+    assert _tree_paths(init) == _tree_paths(variables)
+
+    rng = np.random.default_rng(2)
+    img = rng.uniform(-1, 1, (2, 3, 32, 32)).astype(np.float32)
+    label = np.array([0, 3])
+    with torch.no_grad():
+        ref_out = ref({"img": torch.tensor(img), "label": torch.tensor(label)})
+        ref_feat = ref.feature({"img": torch.tensor(img)})
+    batch = {"img": jnp.asarray(img.transpose(0, 2, 3, 1)),
+             "label": jnp.asarray(label)}
+    out = ours.apply(variables, batch, train=False)
+    np.testing.assert_allclose(np.asarray(out["label"]),
+                               ref_out["label"].numpy(), atol=1e-5)
+    np.testing.assert_allclose(float(out["loss"]), float(ref_out["loss"]),
+                               rtol=1e-4)
+    # feature vectors are the same values in HWC-flat order vs the
+    # reference's CHW-flat order — a fixed permutation, which the FID
+    # mean/cov statistics are invariant to
+    from mcgm_tpu.io.torch_import import _hwc_perm
+
+    perm = _hwc_perm(8, 4, 4)
+    feat = ours.apply(variables, batch, method="feature")
+    np.testing.assert_allclose(np.asarray(feat), ref_feat.numpy()[:, perm],
+                               atol=1e-5)
