@@ -280,11 +280,111 @@ def convert_classifier(state_dict: dict, hidden_size, res: int = 32) -> dict:
     return {"params": p, "batch_stats": s}
 
 
+def _snconv(sd: _SD, key: str) -> tuple[dict, dict]:
+    """torch.nn.utils.spectral_norm'd conv: weight_orig → raw kernel,
+    weight_u → the power-iteration u vector (out-dim space, identical in
+    both frameworks); weight_v is consumed but dropped — this framework
+    recomputes v from u each call (same torch power-iteration semantics,
+    and sigma is invariant to our fan-in flattening order)."""
+    p = {"kernel": sd(f"{key}.weight_orig").transpose(2, 3, 1, 0),
+         "bias": sd(f"{key}.bias")}
+    sd(f"{key}.weight_v")
+    return p, {"u": sd(f"{key}.weight_u")}
+
+
+def _sndense(sd: _SD, key: str, bias: bool = True) -> tuple[dict, dict]:
+    p = {"kernel": sd(f"{key}.weight_orig").T}
+    if bias:
+        p["bias"] = sd(f"{key}.bias")
+    sd(f"{key}.weight_v")
+    return p, {"u": sd(f"{key}.weight_u")}
+
+
+def convert_mcgan(state_dict: dict, generator_hidden_size,
+                  discriminator_hidden_size, cifar_style: bool = True,
+                  res: int = 32) -> dict:
+    """reference mcgan.py → MCGAN variables.
+
+    Generator blocks (mcgan.py:9-45): shared mc_1/mc_2 appear in the torch
+    state_dict under BOTH their attribute path and their Sequential alias
+    paths (conv.3/conv.7/shortcut.1) — aliases are consumed and dropped.
+    Discriminator: every Linear/Conv2d is spectral-normalized
+    (utils.py:17-21) → weight_orig/u/v triplets (see ``_snconv``).
+    """
+    sd = _SD(state_dict)
+    gh, dh = generator_hidden_size, discriminator_hidden_size
+    Lg = len(gh)
+    start = res >> (Lg - 1)
+
+    g_p, g_s, g_c = {}, {}, {}
+    g_p["Dense_0"] = _dense_out_perm(sd, "generator.linear.module",
+                                     _hwc_perm(gh[0], start, start))
+    for i in range(Lg - 1):
+        b = f"generator.blocks.{i}"
+        bp, bs, bc = {}, {}, {}
+        bp["BatchNorm_0"], bs["BatchNorm_0"] = _bn(sd, f"{b}.conv.0.module")
+        bp["Conv_0"] = _conv(sd, f"{b}.conv.4.module")
+        bp["BatchNorm_1"], bs["BatchNorm_1"] = _bn(sd, f"{b}.conv.5.module")
+        bp["Conv_1"] = _conv(sd, f"{b}.conv.8.module")
+        bp["Conv_2"] = _conv(sd, f"{b}.shortcut.2.module")
+        bc["mc_1"] = _code(sd, f"{b}.mc_1")
+        bc["mc_2"] = _code(sd, f"{b}.mc_2")
+        for alias in (f"{b}.conv.3", f"{b}.conv.7", f"{b}.shortcut.1"):
+            sd(f"{alias}.codebook")  # shared-module aliases
+        name = f"_MCGenResBlock_{i}"
+        g_p[name], g_s[name], g_c[name] = bp, bs, bc
+    g_p["BatchNorm_0"], g_s["BatchNorm_0"] = _bn(
+        sd, f"generator.blocks.{Lg - 1}.module")
+    g_c["MultimodalController_0"] = _code(sd, f"generator.blocks.{Lg + 1}")
+    g_p["Conv_0"] = _conv(sd, f"generator.blocks.{Lg + 2}.module")
+
+    d_p, d_c, d_u = {}, {}, {}
+    b = "discriminator.blocks.0"
+    fp, fu = {}, {}
+    fp["SNConv_0"], fu["SNConv_0"] = _snconv(sd, f"{b}.conv.0.module")
+    fp["SNConv_1"], fu["SNConv_1"] = _snconv(sd, f"{b}.conv.3.module")
+    fp["SNConv_2"], fu["SNConv_2"] = _snconv(sd, f"{b}.shortcut.0.module")
+    d_c["_MCFirstDisResBlock_0"] = {"mc_1": _code(sd, f"{b}.mc_1")}
+    sd(f"{b}.conv.2.codebook")
+    d_p["_MCFirstDisResBlock_0"], d_u["_MCFirstDisResBlock_0"] = fp, fu
+    n_tail = 2 if cifar_style else 1
+    for i in range(len(dh) - 1):
+        b = f"discriminator.blocks.{1 + i}"
+        stride2 = i < len(dh) - 1 - n_tail
+        bp, bu, bc = {}, {}, {}
+        bp["SNConv_0"], bu["SNConv_0"] = _snconv(sd, f"{b}.conv.2.module")
+        bp["SNConv_1"], bu["SNConv_1"] = _snconv(sd, f"{b}.conv.5.module")
+        bc["mc_1"] = _code(sd, f"{b}.mc_1")
+        bc["mc_2"] = _code(sd, f"{b}.mc_2")
+        sd(f"{b}.conv.1.codebook"), sd(f"{b}.conv.4.codebook")
+        if stride2 or dh[i] != dh[i + 1]:
+            bp["SNConv_2"], bu["SNConv_2"] = _snconv(
+                sd, f"{b}.shortcut.1.module" if stride2
+                else f"{b}.shortcut.1")
+            sd(f"{b}.shortcut.0.codebook")
+        name = f"_MCDisResBlock_{i}"
+        d_p[name], d_u[name], d_c[name] = bp, bu, bc
+    tail = len(dh)
+    d_c["MultimodalController_0"] = _code(sd, f"discriminator.blocks.{tail + 1}")
+    d_p["SNDense_0"], d_u["SNDense_0"] = _sndense(
+        sd, f"discriminator.blocks.{tail + 3}.module")
+
+    if sd.unused():
+        raise ValueError(f"unmapped reference keys: {sd.unused()[:8]}")
+    return {
+        "params": {"generator": g_p, "discriminator": d_p},
+        "batch_stats": {"generator": g_s},
+        "codebook": {"generator": g_c, "discriminator": d_c},
+        "spectral": {"discriminator": d_u},
+    }
+
+
 CONVERTERS = {
     "mcvae": convert_mcvae,
     "cvae": convert_cvae,
     "vqvae": convert_vqvae,
     "classifier": convert_classifier,
+    "mcgan": convert_mcgan,
 }
 
 
