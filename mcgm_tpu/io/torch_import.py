@@ -379,12 +379,107 @@ def convert_mcgan(state_dict: dict, generator_hidden_size,
     }
 
 
+def convert_mcpixelcnn(state_dict: dict, num_layer: int) -> dict:
+    """reference mcpixelcnn.py MCGatedPixelCNN → MCPixelCNN variables.
+
+    Mask-A weight zeroing is a no-op for the import: the reference zeroes
+    masked taps in-place (mcpixelcnn.py:43-49) while this framework
+    multiplies a constant mask at apply time — either way those taps never
+    contribute."""
+    sd = _SD(state_dict)
+    p = {"embedding": {"embedding": sd("embedding.weight")}}
+    s, c = {}, {}
+    for l in range(num_layer):
+        b = f"layers.{l}"
+        lp, ls, lc = {}, {}, {}
+        lp["vert_stack"] = _conv(sd, f"{b}.vert_stack")
+        lp["horiz_stack"] = _conv(sd, f"{b}.horiz_stack")
+        lp["vert_to_horiz"] = _conv(sd, f"{b}.vert_to_horiz")
+        for gate in ("gate_v", "gate_h"):
+            bnp, bns = _bn(sd, f"{b}.{gate}.bn")
+            lp[gate] = {"BatchNorm_0": bnp}
+            ls[gate] = {"BatchNorm_0": bns}
+            lc[gate] = {"MultimodalController_0": _code(sd, f"{b}.{gate}.mc")}
+        lp["horiz_resid_conv"] = _conv(sd, f"{b}.horiz_resid.0.module")
+        lp["horiz_resid_bn"], ls["horiz_resid_bn"] = _bn(
+            sd, f"{b}.horiz_resid.1.module")
+        lc["horiz_resid_mc"] = _code(sd, f"{b}.horiz_resid.2")
+        p[f"layer_{l}"], s[f"layer_{l}"], c[f"layer_{l}"] = lp, ls, lc
+    hp, hs = {}, {}
+    hp["Conv_0"] = _conv(sd, "output_conv.0.module")
+    hp["BatchNorm_0"], hs["BatchNorm_0"] = _bn(sd, "output_conv.1.module")
+    hp["Conv_1"] = _conv(sd, "output_conv.4.module")
+    p["head"], s["head"] = hp, hs
+    c["head"] = {"MultimodalController_0": _code(sd, "output_conv.3")}
+    if sd.unused():
+        raise ValueError(f"unmapped reference keys: {sd.unused()[:8]}")
+    return {"params": p, "batch_stats": s, "codebook": c}
+
+
+def _actnorm(sd: _SD, key: str) -> dict:
+    """(1,C,1,1) loc/scale → (C,); the 'initialized' DDI flag is consumed —
+    imported checkpoints are data-dependent-initialized already, and this
+    framework's DDI is an explicit pass, not a first-call side effect."""
+    out = {"loc": sd(f"{key}.loc").ravel(), "scale": sd(f"{key}.scale").ravel()}
+    sd(f"{key}.initialized")
+    return out
+
+
+def convert_mcglow(state_dict: dict, K: int, L: int) -> dict:
+    """reference mcglow.py → MCGlow variables (``scan_flows=False`` layout:
+    per-flow subtrees; ``nn.scan`` users can stack flow_k leaves on axis 0).
+
+    Per flow: actnorm, LU invconv (trainable w_l/w_s/w_u + frozen
+    w_p/s_sign into ``glow_const``; the constant masks are dropped — this
+    framework rebuilds them from ``jnp.tril``/``eye``), affine-coupling net
+    (conv, actnorm, MC, 1x1 conv, actnorm, MC, zero-conv with scale)."""
+    sd = _SD(state_dict)
+    p, c, g = {}, {}, {}
+    for i in range(L):
+        bp, bc, bg = {}, {}, {}
+        for k in range(K):
+            f = f"blocks.{i}.flows.{k}"
+            fp, fc, fg = {}, {}, {}
+            fp["actnorm"] = _actnorm(sd, f"{f}.actnorm")
+            fp["invconv"] = {"w_l": sd(f"{f}.invconv.w_l"),
+                             "w_s": sd(f"{f}.invconv.w_s"),
+                             "w_u": sd(f"{f}.invconv.w_u")}
+            fg["invconv"] = {"const": {"w_p": sd(f"{f}.invconv.w_p"),
+                                       "s_sign": sd(f"{f}.invconv.s_sign")}}
+            for const in ("u_mask", "l_mask", "l_eye"):
+                sd(f"{f}.invconv.{const}")  # rebuilt from tril/eye
+            net_p = {
+                "Conv_0": _conv(sd, f"{f}.coupling.net.0.module"),
+                "ActNorm_0": _actnorm(sd, f"{f}.coupling.net.1.module"),
+                "Conv_1": _conv(sd, f"{f}.coupling.net.4.module"),
+                "ActNorm_1": _actnorm(sd, f"{f}.coupling.net.5.module"),
+                "ZeroConv2d_0": {
+                    "conv": _conv(sd, f"{f}.coupling.net.8.module.conv"),
+                    "scale": sd(f"{f}.coupling.net.8.module.scale").ravel()},
+            }
+            net_c = {
+                "MultimodalController_0": _code(sd, f"{f}.coupling.net.3"),
+                "MultimodalController_1": _code(sd, f"{f}.coupling.net.7"),
+            }
+            fp["coupling"] = {"net": net_p}
+            fc["coupling"] = {"net": net_c}
+            bp[f"flow_{k}"], bc[f"flow_{k}"], bg[f"flow_{k}"] = fp, fc, fg
+        bp["prior"] = {"conv": _conv(sd, f"blocks.{i}.prior.conv"),
+                       "scale": sd(f"blocks.{i}.prior.scale").ravel()}
+        p[f"block_{i}"], c[f"block_{i}"], g[f"block_{i}"] = bp, bc, bg
+    if sd.unused():
+        raise ValueError(f"unmapped reference keys: {sd.unused()[:8]}")
+    return {"params": p, "codebook": c, "glow_const": g}
+
+
 CONVERTERS = {
     "mcvae": convert_mcvae,
     "cvae": convert_cvae,
     "vqvae": convert_vqvae,
     "classifier": convert_classifier,
     "mcgan": convert_mcgan,
+    "mcpixelcnn": convert_mcpixelcnn,
+    "mcglow": convert_mcglow,
 }
 
 

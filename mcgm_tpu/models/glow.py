@@ -261,18 +261,24 @@ class Flow(nn.Module):
 
 
 def squeeze2(x):
-    """Space-to-depth by 2 (NHWC analog of reference mcglow.py:219-222)."""
+    """Space-to-depth by 2 (NHWC analog of reference mcglow.py:219-222).
+
+    Channel order is the reference's channels-major (C, 2, 2) layout —
+    squeezed channel j = c*4 + a*2 + b for original channel c and spatial
+    phase (a, b). This makes the coupling's channel split partition the
+    SAME dimensions as the reference flow (and torch checkpoints import
+    channel-for-channel, io/torch_import.py)."""
     b, h, w, c = x.shape
     x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
     return x.reshape(b, h // 2, w // 2, 4 * c)
 
 
 def unsqueeze2(x):
     b, h, w, c4 = x.shape
     c = c4 // 4
-    x = x.reshape(b, h, w, 2, 2, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, h, w, c, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
     return x.reshape(b, h * 2, w * 2, c)
 
 

@@ -227,3 +227,72 @@ def test_import_mcgan_forward_parity():
                                    False, method="generate"))
     np.testing.assert_allclose(g_ours, g_ref.transpose(0, 2, 3, 1),
                                atol=1e-4)
+
+
+def test_import_mcpixelcnn_forward_parity():
+    from mcgm_tpu.models.pixelcnn import MCPixelCNN
+
+    ref = _load_reference("mcpixelcnn", "MCGatedPixelCNN", input_size=16,
+                          hidden_size=8, num_layer=3, num_mode=4,
+                          controller_rate=0.5)
+    variables = convert("mcpixelcnn", ref.state_dict(), num_layer=3)
+    ours = MCPixelCNN(input_size=16, hidden_size=8, num_layer=3, num_mode=4,
+                      controller_rate=0.5)
+    init = ours.init({"params": jax.random.PRNGKey(0)},
+                     {"img": jnp.zeros((2, 6, 6), jnp.int32),
+                      "label": jnp.zeros((2,), jnp.int32)}, train=True)
+    assert _tree_paths(init) == _tree_paths(variables)
+
+    rng = np.random.default_rng(4)
+    codes = rng.integers(0, 16, (2, 6, 6))
+    label = np.array([0, 2])
+    with torch.no_grad():
+        ref_out = ref({"img": torch.tensor(codes), "label": torch.tensor(label)})
+    out = ours.apply(variables, {"img": jnp.asarray(codes, jnp.int32),
+                                 "label": jnp.asarray(label)}, train=False)
+    # reference logits: [B, classes, H, W]; ours [B, H, W, classes]
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               ref_out["logits"].numpy().transpose(0, 2, 3, 1),
+                               atol=1e-4)
+    np.testing.assert_allclose(float(out["loss"]), float(ref_out["loss"]),
+                               rtol=1e-4)
+
+
+def test_import_mcglow_generate_parity():
+    """Glow import: actnorm (post-DDI), LU invconv (incl. frozen P/sign),
+    affine coupling nets. One torch train forward runs the reference's
+    first-call DDI so the imported actnorms carry real statistics; parity
+    is checked on the deterministic reverse path (generate with fixed z)."""
+    from mcgm_tpu.models.glow import MCGlow
+
+    ref = _load_reference("mcglow", "MCGlow", data_shape=(3, 16, 16),
+                          hidden_size=8, K=2, L=2, affine=True, conv_lu=True,
+                          num_mode=4, controller_rate=0.5)
+    rng = np.random.default_rng(5)
+    img = rng.uniform(-1, 1, (4, 3, 16, 16)).astype(np.float32)
+    C = np.arange(4)
+    ref.train()
+    with torch.no_grad():  # trigger the reference's first-call actnorm DDI
+        ref({"img": torch.tensor(img), "label": torch.tensor(C)})
+    ref.eval()
+
+    variables = convert("mcglow", ref.state_dict(), K=2, L=2)
+    ours = MCGlow(data_shape=(16, 16, 3), hidden_size=8, K=2, L=2,
+                  num_mode=4, controller_rate=0.5, scan_flows=False)
+    init = ours.init({"params": jax.random.PRNGKey(0),
+                      "noise": jax.random.PRNGKey(1)},
+                     {"img": jnp.zeros((2, 16, 16, 3)),
+                      "label": jnp.zeros((2,), jnp.int32)}, train=True)
+    assert _tree_paths(init) == _tree_paths(variables)
+
+    shapes_ref = ref.make_z_shapes()  # (C,H,W) per level
+    zs = [rng.normal(size=(4, *s)).astype(np.float32) * 0.7
+          for s in shapes_ref]
+    with torch.no_grad():
+        g_ref = ref.generate(torch.tensor(C),
+                             x=[torch.tensor(z) for z in zs]).numpy()
+    z_ours = [jnp.asarray(z.transpose(0, 2, 3, 1)) for z in zs]
+    g_ours = np.asarray(ours.apply(variables, jnp.asarray(C), z_ours,
+                                   method="generate"))
+    np.testing.assert_allclose(g_ours, g_ref.transpose(0, 2, 3, 1),
+                               atol=1e-4)
