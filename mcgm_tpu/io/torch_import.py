@@ -472,14 +472,154 @@ def convert_mcglow(state_dict: dict, K: int, L: int) -> dict:
     return {"params": p, "codebook": c, "glow_const": g}
 
 
+def convert_cgan(state_dict: dict, generator_hidden_size,
+                 discriminator_hidden_size, cifar_style: bool = True,
+                 res: int = 32) -> dict:
+    """reference cgan.py → CGAN variables (class embeddings, unwrapped
+    Sequentials; the discriminator embedding is spectral-normalized too)."""
+    sd = _SD(state_dict)
+    gh, dh = generator_hidden_size, discriminator_hidden_size
+    Lg = len(gh)
+    start = res >> (Lg - 1)
+
+    g_p, g_s = {}, {}
+    g_p["embedding"] = _dense(sd, "generator.embedding", bias=False)
+    g_p["Dense_0"] = _dense_out_perm(sd, "generator.linear",
+                                     _hwc_perm(gh[0], start, start))
+    for i in range(Lg - 1):  # cgan.py GenResBlock: conv.{0,3,4,6}, shortcut.1
+        b = f"generator.blocks.{i}"
+        bp, bs = {}, {}
+        bp["BatchNorm_0"], bs["BatchNorm_0"] = _bn(sd, f"{b}.conv.0")
+        bp["Conv_0"] = _conv(sd, f"{b}.conv.3")
+        bp["BatchNorm_1"], bs["BatchNorm_1"] = _bn(sd, f"{b}.conv.4")
+        bp["Conv_1"] = _conv(sd, f"{b}.conv.6")
+        bp["Conv_2"] = _conv(sd, f"{b}.shortcut.1")
+        name = f"_CGenResBlock_{i}"
+        g_p[name], g_s[name] = bp, bs
+    g_p["BatchNorm_0"], g_s["BatchNorm_0"] = _bn(
+        sd, f"generator.blocks.{Lg - 1}")
+    g_p["Conv_0"] = _conv(sd, f"generator.blocks.{Lg + 1}")
+
+    d_p, d_u = {}, {}
+    d_p["embedding"], d_u["embedding"] = _sndense(
+        sd, "discriminator.embedding", bias=False)
+    b = "discriminator.blocks.0"
+    fp, fu = {}, {}
+    fp["SNConv_0"], fu["SNConv_0"] = _snconv(sd, f"{b}.conv.0")
+    fp["SNConv_1"], fu["SNConv_1"] = _snconv(sd, f"{b}.conv.2")
+    fp["SNConv_2"], fu["SNConv_2"] = _snconv(sd, f"{b}.shortcut.0")
+    d_p["_CFirstDisResBlock_0"], d_u["_CFirstDisResBlock_0"] = fp, fu
+    n_tail = 2 if cifar_style else 1
+    for i in range(len(dh) - 1):
+        b = f"discriminator.blocks.{1 + i}"
+        stride2 = i < len(dh) - 1 - n_tail
+        bp, bu = {}, {}
+        bp["SNConv_0"], bu["SNConv_0"] = _snconv(sd, f"{b}.conv.1")
+        bp["SNConv_1"], bu["SNConv_1"] = _snconv(sd, f"{b}.conv.3")
+        if stride2 or dh[i] != dh[i + 1]:
+            bp["SNConv_2"], bu["SNConv_2"] = _snconv(sd, f"{b}.shortcut.0")
+        name = f"_CDisResBlock_{i}"
+        d_p[name], d_u[name] = bp, bu
+    d_p["SNDense_0"], d_u["SNDense_0"] = _sndense(
+        sd, f"discriminator.blocks.{len(dh) + 2}")
+
+    if sd.unused():
+        raise ValueError(f"unmapped reference keys: {sd.unused()[:8]}")
+    return {
+        "params": {"generator": g_p, "discriminator": d_p},
+        "batch_stats": {"generator": g_s},
+        "spectral": {"discriminator": d_u},
+    }
+
+
+def convert_cpixelcnn(state_dict: dict, num_layer: int) -> dict:
+    """reference cpixelcnn.py → CPixelCNN variables (per-class cond-bias
+    embeddings instead of MC; unwrapped Sequentials)."""
+    sd = _SD(state_dict)
+    p = {"embedding": {"embedding": sd("embedding.weight")}}
+    s = {}
+    for l in range(num_layer):
+        b = f"layers.{l}"
+        lp, ls = {}, {}
+        lp["class_cond_embedding"] = {
+            "embedding": sd(f"{b}.class_cond_embedding.weight")}
+        lp["vert_stack"] = _conv(sd, f"{b}.vert_stack")
+        lp["horiz_stack"] = _conv(sd, f"{b}.horiz_stack")
+        lp["vert_to_horiz"] = _conv(sd, f"{b}.vert_to_horiz")
+        for gate in ("gate_v", "gate_h"):
+            bnp, bns = _bn(sd, f"{b}.{gate}.bn")
+            lp[gate] = {"BatchNorm_0": bnp}
+            ls[gate] = {"BatchNorm_0": bns}
+        lp["horiz_resid_conv"] = _conv(sd, f"{b}.horiz_resid.0")
+        lp["horiz_resid_bn"], ls["horiz_resid_bn"] = _bn(
+            sd, f"{b}.horiz_resid.1")
+        p[f"layer_{l}"], s[f"layer_{l}"] = lp, ls
+    hp, hs = {}, {}
+    hp["Conv_0"] = _conv(sd, "output_conv.0")
+    hp["BatchNorm_0"], hs["BatchNorm_0"] = _bn(sd, "output_conv.1")
+    hp["Conv_1"] = _conv(sd, "output_conv.3")
+    p["head"], s["head"] = hp, hs
+    if sd.unused():
+        raise ValueError(f"unmapped reference keys: {sd.unused()[:8]}")
+    return {"params": p, "batch_stats": s}
+
+
+def convert_cglow(state_dict: dict, K: int, L: int) -> dict:
+    """reference cglow.py → CGlow variables: like mcglow but no MC (net
+    indices 0/1/3/4/6) and a conditional-prior embedding ZeroConv on the
+    final block (cglow.py:214,233)."""
+    sd = _SD(state_dict)
+    p, g = {}, {}
+    for i in range(L):
+        bp, bg = {}, {}
+        for k in range(K):
+            f = f"blocks.{i}.flows.{k}"
+            fp, fg = {}, {}
+            fp["actnorm"] = _actnorm(sd, f"{f}.actnorm")
+            fp["invconv"] = {"w_l": sd(f"{f}.invconv.w_l"),
+                             "w_s": sd(f"{f}.invconv.w_s"),
+                             "w_u": sd(f"{f}.invconv.w_u")}
+            fg["invconv"] = {"const": {"w_p": sd(f"{f}.invconv.w_p"),
+                                       "s_sign": sd(f"{f}.invconv.s_sign")}}
+            for const in ("u_mask", "l_mask", "l_eye"):
+                sd(f"{f}.invconv.{const}")
+            fp["coupling"] = {"net": {
+                "Conv_0": _conv(sd, f"{f}.coupling.net.0"),
+                "ActNorm_0": _actnorm(sd, f"{f}.coupling.net.1"),
+                "Conv_1": _conv(sd, f"{f}.coupling.net.3"),
+                "ActNorm_1": _actnorm(sd, f"{f}.coupling.net.4"),
+                "ZeroConv2d_0": {
+                    "conv": _conv(sd, f"{f}.coupling.net.6.conv"),
+                    "scale": sd(f"{f}.coupling.net.6.scale").ravel()},
+            }}
+            bp[f"flow_{k}"], bg[f"flow_{k}"] = fp, fg
+        bp["prior"] = {"conv": _conv(sd, f"blocks.{i}.prior.conv"),
+                       "scale": sd(f"blocks.{i}.prior.scale").ravel()}
+        if f"blocks.{i}.embedding.conv.weight" in sd.sd:
+            emb = {"conv": _conv(sd, f"blocks.{i}.embedding.conv"),
+                   "scale": sd(f"blocks.{i}.embedding.scale").ravel()}
+            if i == L - 1:
+                bp["embedding"] = emb
+            # else: the reference constructs the cond-prior embedding on
+            # EVERY block but only uses it on the final (split=False) one
+            # (cglow.py:212-233) — dead params, consumed and dropped
+        p[f"block_{i}"], g[f"block_{i}"] = bp, bg
+    if sd.unused():
+        raise ValueError(f"unmapped reference keys: {sd.unused()[:8]}")
+    return {"params": p, "glow_const": g}
+
+
 CONVERTERS = {
     "mcvae": convert_mcvae,
     "cvae": convert_cvae,
     "vqvae": convert_vqvae,
     "classifier": convert_classifier,
     "mcgan": convert_mcgan,
+    "cgan": convert_cgan,
     "mcpixelcnn": convert_mcpixelcnn,
+    "cpixelcnn": convert_cpixelcnn,
     "mcglow": convert_mcglow,
+    "cglow": convert_cglow,
 }
 
 

@@ -296,3 +296,109 @@ def test_import_mcglow_generate_parity():
                                    method="generate"))
     np.testing.assert_allclose(g_ours, g_ref.transpose(0, 2, 3, 1),
                                atol=1e-4)
+
+
+def test_import_cgan_forward_parity():
+    from mcgm_tpu.models.gan import CGAN
+
+    ref = _load_reference("cgan", "CGAN", data_shape=(3, 32, 32),
+                          latent_size=8, generator_hidden_size=(8, 8, 8, 8),
+                          discriminator_hidden_size=(8, 8, 8, 8),
+                          num_mode=4, embedding_size=8)
+    rng = np.random.default_rng(6)
+    img = rng.uniform(-1, 1, (4, 3, 32, 32)).astype(np.float32)
+    C = np.arange(4)
+    ind = torch.nn.functional.one_hot(torch.tensor(C), 4).float()
+    ref.train()
+    with torch.no_grad():
+        for _ in range(200):
+            ref.discriminator(torch.tensor(img), ind)
+    ref.eval()
+
+    variables = convert("cgan", ref.state_dict(),
+                        generator_hidden_size=(8, 8, 8, 8),
+                        discriminator_hidden_size=(8, 8, 8, 8),
+                        cifar_style=True)
+    ours = CGAN((32, 32, 3), 8, (8, 8, 8, 8), (8, 8, 8, 8), num_mode=4,
+                embedding_size=8, cifar_style=True)
+    init = ours.init({"params": jax.random.PRNGKey(0),
+                      "z": jax.random.PRNGKey(1)},
+                     {"img": jnp.zeros((2, 32, 32, 3)),
+                      "label": jnp.zeros((2,), jnp.int32)}, train=True)
+    assert _tree_paths(init) == _tree_paths(variables)
+
+    with torch.no_grad():
+        d_ref = ref.discriminate(torch.tensor(img), torch.tensor(C)).numpy()
+    d_ours = np.asarray(ours.apply(
+        variables, jnp.asarray(img.transpose(0, 2, 3, 1)), jnp.asarray(C),
+        False, method="discriminate"))
+    np.testing.assert_allclose(d_ours, d_ref, rtol=2e-3, atol=2e-3)
+
+    z = rng.normal(size=(4, 8)).astype(np.float32)
+    with torch.no_grad():
+        g_ref = ref.generate(torch.tensor(C), torch.tensor(z)).numpy()
+    g_ours = np.asarray(ours.apply(variables, jnp.asarray(C), jnp.asarray(z),
+                                   False, method="generate"))
+    np.testing.assert_allclose(g_ours, g_ref.transpose(0, 2, 3, 1),
+                               atol=1e-4)
+
+
+def test_import_cpixelcnn_forward_parity():
+    from mcgm_tpu.models.pixelcnn import CPixelCNN
+
+    ref = _load_reference("cpixelcnn", "ConditionalGatedPixelCNN",
+                          input_size=16, hidden_size=8, num_layer=3,
+                          num_mode=4)
+    variables = convert("cpixelcnn", ref.state_dict(), num_layer=3)
+    ours = CPixelCNN(input_size=16, hidden_size=8, num_layer=3, num_mode=4)
+    init = ours.init({"params": jax.random.PRNGKey(0)},
+                     {"img": jnp.zeros((2, 6, 6), jnp.int32),
+                      "label": jnp.zeros((2,), jnp.int32)}, train=True)
+    assert _tree_paths(init) == _tree_paths(variables)
+
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 16, (2, 6, 6))
+    label = np.array([1, 3])
+    with torch.no_grad():
+        ref_out = ref({"img": torch.tensor(codes), "label": torch.tensor(label)})
+    out = ours.apply(variables, {"img": jnp.asarray(codes, jnp.int32),
+                                 "label": jnp.asarray(label)}, train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               ref_out["logits"].numpy().transpose(0, 2, 3, 1),
+                               atol=1e-4)
+
+
+def test_import_cglow_generate_parity():
+    from mcgm_tpu.models.glow import CGlow
+
+    ref = _load_reference("cglow", "CGlow", data_shape=(3, 16, 16),
+                          hidden_size=8, K=2, L=2, affine=True, conv_lu=True,
+                          num_mode=4)
+    rng = np.random.default_rng(8)
+    img = rng.uniform(-1, 1, (4, 3, 16, 16)).astype(np.float32)
+    C = np.arange(4)
+    ref.train()
+    with torch.no_grad():
+        ref({"img": torch.tensor(img), "label": torch.tensor(C)})
+    ref.eval()
+
+    variables = convert("cglow", ref.state_dict(), K=2, L=2)
+    ours = CGlow(data_shape=(16, 16, 3), hidden_size=8, K=2, L=2,
+                 num_mode=4, scan_flows=False)
+    init = ours.init({"params": jax.random.PRNGKey(0),
+                      "noise": jax.random.PRNGKey(1)},
+                     {"img": jnp.zeros((2, 16, 16, 3)),
+                      "label": jnp.zeros((2,), jnp.int32)}, train=True)
+    assert _tree_paths(init) == _tree_paths(variables)
+
+    shapes_ref = ref.make_z_shapes()
+    zs = [rng.normal(size=(4, *s)).astype(np.float32) * 0.7
+          for s in shapes_ref]
+    with torch.no_grad():
+        g_ref = ref.generate(torch.tensor(C),
+                             x=[torch.tensor(z) for z in zs]).numpy()
+    z_ours = [jnp.asarray(z.transpose(0, 2, 3, 1)) for z in zs]
+    g_ours = np.asarray(ours.apply(variables, jnp.asarray(C), z_ours,
+                                   method="generate"))
+    np.testing.assert_allclose(g_ours, g_ref.transpose(0, 2, 3, 1),
+                               atol=1e-4)
