@@ -609,6 +609,30 @@ def convert_cglow(state_dict: dict, K: int, L: int) -> dict:
     return {"params": p, "glow_const": g}
 
 
+def stack_glow_flows(variables: dict) -> dict:
+    """Convert imported Glow variables from the per-flow layout
+    (``block_i/flow_k/...``, ``scan_flows=False``) to the production
+    ``nn.scan`` layout (``block_i/flows/flow/...`` with leaves stacked on
+    axis 0) — the compile-once fast path (docs/DESIGN.md scan-over-flows)."""
+    import jax
+
+    out = {}
+    for col, tree in variables.items():
+        new_col = {}
+        for block, sub in tree.items():
+            flows = sorted((k for k in sub if k.startswith("flow_")),
+                           key=lambda k: int(k.split("_")[1]))
+            rest = {k: v for k, v in sub.items() if not k.startswith("flow_")}
+            if flows:
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs, axis=0),
+                    *[sub[k] for k in flows])
+                rest["flows"] = {"flow": stacked}
+            new_col[block] = rest
+        out[col] = new_col
+    return out
+
+
 CONVERTERS = {
     "mcvae": convert_mcvae,
     "cvae": convert_cvae,

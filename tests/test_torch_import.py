@@ -402,3 +402,41 @@ def test_import_cglow_generate_parity():
                                    method="generate"))
     np.testing.assert_allclose(g_ours, g_ref.transpose(0, 2, 3, 1),
                                atol=1e-4)
+
+
+def test_import_mcglow_scan_layout():
+    """stack_glow_flows reshapes an imported checkpoint into the nn.scan
+    production layout; generate must match the per-flow layout exactly."""
+    from mcgm_tpu.io.torch_import import stack_glow_flows
+    from mcgm_tpu.models.glow import MCGlow
+
+    ref = _load_reference("mcglow", "MCGlow", data_shape=(3, 16, 16),
+                          hidden_size=8, K=2, L=2, affine=True, conv_lu=True,
+                          num_mode=4, controller_rate=0.5)
+    rng = np.random.default_rng(9)
+    img = rng.uniform(-1, 1, (4, 3, 16, 16)).astype(np.float32)
+    C = np.arange(4)
+    ref.train()
+    with torch.no_grad():
+        ref({"img": torch.tensor(img), "label": torch.tensor(C)})
+    ref.eval()
+    variables = convert("mcglow", ref.state_dict(), K=2, L=2)
+    stacked = stack_glow_flows(variables)
+
+    flat = MCGlow(data_shape=(16, 16, 3), hidden_size=8, K=2, L=2,
+                  num_mode=4, controller_rate=0.5, scan_flows=False)
+    scan = MCGlow(data_shape=(16, 16, 3), hidden_size=8, K=2, L=2,
+                  num_mode=4, controller_rate=0.5, scan_flows=True)
+    init = scan.init({"params": jax.random.PRNGKey(0),
+                      "noise": jax.random.PRNGKey(1)},
+                     {"img": jnp.zeros((2, 16, 16, 3)),
+                      "label": jnp.zeros((2,), jnp.int32)}, train=True)
+    assert _tree_paths(init) == _tree_paths(stacked)
+
+    zs = [jnp.asarray(rng.normal(size=(4, *s)).astype(np.float32))
+          for s in flat.make_z_shapes()]
+    g_flat = np.asarray(flat.apply(variables, jnp.asarray(C), zs,
+                                   method="generate"))
+    g_scan = np.asarray(scan.apply(stacked, jnp.asarray(C), zs,
+                                   method="generate"))
+    np.testing.assert_allclose(g_scan, g_flat, atol=1e-5)
