@@ -212,6 +212,7 @@ class Experiment:
                                        remat=cfg.get("remat", False))
             self.ts, step = self._place_state(self.ts, step)
             self.train_step = jax.jit(step, donate_argnums=0)
+            self._make_multi_step(step)
             self.generate_fn = jax.jit(
                 lambda vars_, C, z: self.model.apply(vars_, C, z, False,
                                                      method="generate")
@@ -231,11 +232,27 @@ class Experiment:
                                rng_streams=streams,
                                remat=cfg.get("remat", False))
         self.ts, step = self._place_state(self.ts, step)
-        self.train_step = jax.jit(self._wrap_metrics(step), donate_argnums=0)
+        wrapped = self._wrap_metrics(step)
+        self.train_step = jax.jit(wrapped, donate_argnums=0)
+        self._make_multi_step(wrapped)
         ev = make_eval_step(self.model, rng_streams=streams)
         self.eval_step = jax.jit(ev)
         if fam == "glow":
             self._ddi_pending = True
+
+    def _make_multi_step(self, base_step) -> None:
+        """Compile the k-steps-per-dispatch variant when
+        ``cfg['steps_per_dispatch'] > 1`` (host-dispatch amortization for
+        small per-step families — see state.make_multi_train_step)."""
+        k = int(self.cfg.get("steps_per_dispatch", 1))
+        self._steps_per_dispatch = k
+        if k > 1:
+            from .state import make_multi_train_step
+
+            self.train_step_multi = jax.jit(
+                make_multi_train_step(base_step, k), donate_argnums=0)
+        else:
+            self.train_step_multi = None
 
     def _flush_buffered(self, buffered: list, split: str) -> None:
         """Land buffered on-device (metrics, n) pairs as ONE stacked
@@ -399,24 +416,55 @@ class Experiment:
 
         t0 = time.time()
         seen = 0
-        try:
+        k = getattr(self, "_steps_per_dispatch", 1)
+
+        def groups():
+            """Yield lists of up to k consecutive batches (k=1 → singles)."""
+            g = []
             for i, batch in enumerate(loader):
                 if limit and i >= limit:
                     break
-                n = batch["n"]
-                seen += n
-                batch = self._prep_batch(batch)
-                if prof_dir and i == prof_warmup:
+                g.append(batch)
+                if len(g) == k:
+                    yield g
+                    g = []
+            if g:
+                yield g
+
+        try:
+            i = -1
+            for group in groups():
+                ns = [b["n"] for b in group]
+                prepped = [self._prep_batch(b) for b in group]
+                if prof_dir and i + 1 <= prof_warmup <= i + len(group):
                     jax.profiler.start_trace(prof_dir)
                     tracing = True
                 timer.start()
-                self.ts, metrics = self.train_step(self.ts, batch)
-                timer.stop(n)
+                if len(group) == k and self.train_step_multi is not None:
+                    # one dispatch for k steps (identical math/rng chain to
+                    # k sequential calls; see state.make_multi_train_step)
+                    stacked = jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *prepped)
+                    self.ts, stacked_m = self.train_step_multi(self.ts, stacked)
+                    step_metrics = [
+                        (jax.tree_util.tree_map(lambda a, j=j: a[j], stacked_m),
+                         ns[j]) for j in range(k)]
+                else:  # remainder (or k=1): plain per-step dispatches
+                    step_metrics = []
+                    for b, n in zip(prepped, ns):
+                        self.ts, metrics = self.train_step(self.ts, b)
+                        step_metrics.append((metrics, n))
+                timer.stop(sum(ns))
+                buffered.extend(step_metrics)
+                seen += sum(ns)
+                start = i + 1
+                i += len(group)
                 if tracing and i + 1 >= prof_warmup + prof_steps:
                     jax.profiler.stop_trace()
                     tracing = False
-                buffered.append((metrics, n))
-                if i % log_every == 0:
+                # log when a multiple of log_every falls inside this group
+                # (exactly the old per-step `i % log_every == 0` for k=1)
+                if start == 0 or (start - 1) // log_every != i // log_every:
                     flush()
                     bt = (time.time() - t0) / (i + 1)
                     eta = datetime.timedelta(

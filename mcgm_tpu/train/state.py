@@ -123,6 +123,28 @@ def make_train_step(model, optimizer, rng_streams: tuple[str, ...] = (),
     return step
 
 
+def make_multi_train_step(step, k: int):
+    """Run ``k`` train steps in ONE dispatch via ``lax.scan`` over stacked
+    batches.
+
+    Amortizes per-dispatch host latency — the dominant cost for the small
+    per-step families on a remote/tunneled backend (measured on the v5e
+    tunnel: MCVAE 33k → 100k img/s at k=8, reaching the ~0.9 ms/step device
+    compute floor; docs/DESIGN.md). ``step`` must return ``(ts, metrics)``
+    with scalar metrics (the metric-wrapped step), so the scan stacks k
+    scalars, not k activation sets. Semantics are identical to k sequential
+    calls (same rng chain, same order).
+    """
+
+    def multi(ts, batches):
+        def body(ts, b):
+            return step(ts, b)
+
+        return jax.lax.scan(body, ts, batches)
+
+    return multi
+
+
 def make_eval_step(model, rng_streams: tuple[str, ...] = ()):
     """Eval forward (running stats, z=mu etc.); reference ``test`` analog."""
 

@@ -169,3 +169,20 @@ def test_save_is_atomic(tmp_path):
     pn = str(tmp_path / "y")
     save(np.arange(3), pn, mode="numpy")
     assert np.array_equal(load(pn + ".npy", mode="numpy"), np.arange(3))
+
+
+def test_steps_per_dispatch_matches_single(tmp_output):
+    """k steps fused into one lax.scan dispatch must reproduce k sequential
+    dispatches exactly (same rng chain, same batch order, same metrics)."""
+    cfg1 = make_tiny_cfg("mcvae", tmp_dir=os.path.join(tmp_output, "a"),
+                         limit_train_batches=4, steps_per_dispatch=1)
+    exp1 = Experiment(cfg1)
+    log1 = exp1.run()
+    cfg2 = make_tiny_cfg("mcvae", tmp_dir=os.path.join(tmp_output, "b"),
+                         limit_train_batches=4, steps_per_dispatch=2)
+    exp2 = Experiment(cfg2)
+    log2 = exp2.run()
+    h1 = log1.history["train/Loss"]
+    h2 = log2.history["train/Loss"]
+    assert len(h1) == len(h2)
+    np.testing.assert_allclose(h1, h2, rtol=1e-6)
