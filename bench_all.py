@@ -85,8 +85,8 @@ def bench_train(model_name, data_name="CIFAR10", label=None):
     else:
         opt = make_optimizer(cfg, grad_clip=cfg.get("grad_clip"))
         ts = TrainState(params, state, opt.init(params), jax.random.PRNGKey(1))
-        step = jax.jit(make_train_step(model, opt, rng_streams=streams),
-                       donate_argnums=0)
+        raw_step = make_train_step(model, opt, rng_streams=streams)
+        step = jax.jit(raw_step, donate_argnums=0)
     # several warmup calls: the first execution can trigger a second
     # donated-layout compilation + persistent-cache serialization
     for _ in range(3):
@@ -98,6 +98,31 @@ def bench_train(model_name, data_name="CIFAR10", label=None):
     jax.block_until_ready(m)
     dt = time.perf_counter() - t0
     _emit(f"{label}_train_images_per_sec", bs * STEPS / dt, "images/sec/chip")
+    if fam != "gan":
+        # production path (cfg steps_per_dispatch=8): k steps per dispatch —
+        # these families are dispatch-bound, not compute-bound
+        from mcgm_tpu.train.state import make_multi_train_step
+
+        K = 8
+
+        def scalar_step(ts, b):
+            ts2, aux = raw_step(ts, b)
+            return ts2, {"loss": aux["loss"]}
+
+        multi = jax.jit(make_multi_train_step(scalar_step, K),
+                        donate_argnums=0)
+        stacked = {k2: jnp.stack([v2] * K) for k2, v2 in batch.items()}
+        for _ in range(2):
+            ts, m = multi(ts, stacked)
+        jax.block_until_ready(m)
+        t0 = time.perf_counter()
+        reps = max(2, STEPS // K)
+        for _ in range(reps):
+            ts, m = multi(ts, stacked)
+        jax.block_until_ready(m)
+        dt = time.perf_counter() - t0
+        _emit(f"{label}_train_images_per_sec_k8", bs * K * reps / dt,
+              "images/sec/chip")
     if fam == "gan":
         live = {"params": {"generator": ts.g_params, "discriminator": ts.d_params},
                 **ts.state}
