@@ -236,6 +236,8 @@ class Experiment:
         self.train_step = jax.jit(wrapped, donate_argnums=0)
         self._make_multi_step(wrapped)
         ev = make_eval_step(self.model, rng_streams=streams)
+        self._eval_raw = ev
+        self._multi_eval_fn = None
         self.eval_step = jax.jit(ev)
         if fam == "glow":
             self._ddi_pending = True
@@ -253,6 +255,24 @@ class Experiment:
                 make_multi_train_step(base_step, k), donate_argnums=0)
         else:
             self.train_step_multi = None
+
+    def _multi_eval(self, params, state, batches, rng):
+        """k eval batches in one scan dispatch; carries the rng so the key
+        sequence is identical to k sequential eval_step calls. Returns
+        (next_rng, stacked scalar metrics) — full outputs never leave the
+        scan, so memory stays one batch deep."""
+        if self._multi_eval_fn is None:
+            ev, tm = self._eval_raw, self.test_metrics
+
+            def multi(params, state, batches, rng):
+                def body(r, b):
+                    r, key = jax.random.split(r)
+                    return r, tm(b, ev(params, state, b, key))
+
+                return jax.lax.scan(body, rng, batches)
+
+            self._multi_eval_fn = jax.jit(multi)
+        return self._multi_eval_fn(params, state, batches, rng)
 
     def _flush_buffered(self, buffered: list, split: str) -> None:
         """Land buffered on-device (metrics, n) pairs as ONE stacked
@@ -497,16 +517,45 @@ class Experiment:
         limit = cfg.get("limit_eval_batches")
         out = batch = None
         # same async pattern as train_epoch: metrics stay on device until
-        # one stacked flush (a per-batch float() costs a tunnel round trip)
+        # one stacked flush (a per-batch float() costs a tunnel round trip);
+        # and like train, k eval batches fuse into one scan dispatch (same
+        # rng chain as sequential calls — the scan carries it)
+        k_disp = getattr(self, "_steps_per_dispatch", 1)
         buffered = []
+        group, group_ns = [], []
+
+        def run_group():
+            nonlocal out, batch
+            if not group:
+                return
+            if len(group) == k_disp and k_disp > 1:
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *group)
+                self.rng, metrics = self._multi_eval(
+                    self.ts.params, self.ts.state, stacked, self.rng)
+                for j, n_j in enumerate(group_ns):
+                    buffered.append((jax.tree_util.tree_map(
+                        lambda a, j=j: a[j], metrics), n_j))
+            else:
+                for b, n_j in zip(group, group_ns):
+                    self.rng, key = jax.random.split(self.rng)
+                    out = self.eval_step(self.ts.params, self.ts.state, b, key)
+                    buffered.append((self.test_metrics(b, out), n_j))
+            batch = group[-1]
+            group.clear(), group_ns.clear()
+
         for i, batch in enumerate(loader):
             if limit and i >= limit:
                 break
-            n = batch["n"]
-            batch = self._prep_batch(batch)
-            self.rng, k = jax.random.split(self.rng)
-            out = self.eval_step(self.ts.params, self.ts.state, batch, k)
-            buffered.append((self.test_metrics(batch, out), n))
+            group_ns.append(batch["n"])
+            group.append(self._prep_batch(batch))
+            if len(group) == k_disp:
+                run_group()
+        run_group()
+        if cfg.get("show"):  # the grid needs real outputs for the last batch
+            if batch is not None:
+                self.rng, key = jax.random.split(self.rng)
+                out = self.eval_step(self.ts.params, self.ts.state, batch, key)
         self._flush_buffered(buffered, "test")
         if cfg.get("show") and out is not None and "img" in out:
             from ..io.images import save_image_grid

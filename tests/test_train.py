@@ -186,3 +186,18 @@ def test_steps_per_dispatch_matches_single(tmp_output):
     h2 = log2.history["train/Loss"]
     assert len(h1) == len(h2)
     np.testing.assert_allclose(h1, h2, rtol=1e-6)
+
+
+def test_eval_multi_dispatch_matches_single(tmp_output):
+    """Fused eval dispatch must reproduce the sequential eval exactly
+    (same rng key chain carried through the scan)."""
+    h = {}
+    for k in (1, 2):
+        cfg = make_tiny_cfg("mcvae", tmp_dir=os.path.join(tmp_output, str(k)),
+                            limit_train_batches=2, limit_eval_batches=4,
+                            steps_per_dispatch=k)
+        exp = Experiment(cfg)
+        log = exp.run()
+        h[k] = (log.history["test/Loss"], log.history["test/BCE"])
+    np.testing.assert_allclose(h[1][0], h[2][0], rtol=1e-6)
+    np.testing.assert_allclose(h[1][1], h[2][1], rtol=1e-6)
