@@ -89,3 +89,17 @@ def test_export_pixelcnn_full_autoregressive():
     want = np.asarray(ae.model.apply(ae.variables, codes,
                                      method="decode_code"))
     assert np.allclose(got, want, atol=1e-5)
+
+
+def test_export_multi_platform():
+    """One artifact lowered for BOTH cpu and tpu (serving hosts pick their
+    lowering at load time; verified bit-identical on the real chip —
+    docs/DESIGN.md). Here: lowers cross-platform and runs on cpu."""
+    s = _sampler("mcgan")
+    blob = export_sampler(s, batch="b", platforms=("cpu", "tpu"))
+    fn = load_serving_fn(blob)
+    C = jnp.arange(2, dtype=jnp.int32)
+    z = jax.random.normal(K, (2, s.model.latent_size))
+    got = np.asarray(fn(C, z))
+    want = np.asarray(s.model.apply(s.variables, C, z, method="generate"))
+    assert np.allclose(got, want, atol=1e-5)
