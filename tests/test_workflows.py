@@ -76,3 +76,32 @@ def test_transit_alpha_zero_collapses_modes(trained):
     imgs = s0.sample_with_z(C, z)
     for i in range(1, 5):
         assert np.allclose(imgs[i], imgs[0], atol=1e-5)
+
+
+def test_scoring_chain_end_to_end(trained):
+    """Full reference scoring pipeline on the tiny trained model: train the
+    classifier feature model, score the generate/create npy dumps through
+    the real CLI functions (IS/FID on classifier features + DBI), and
+    re-evaluate the model from its _best checkpoint (test_vae analog)."""
+    cfg, tag, tmp = trained
+    # feature model (classifier fallback: zero-egress env, no inception)
+    ccfg = make_tiny_cfg("classifier", tmp_dir=tmp, num_epochs=1,
+                        control_name="None")
+    Experiment(ccfg).run()
+
+    from mcgm_tpu.cli.test_generated import score_created, score_generated
+
+    scfg = dict(cfg)
+    scfg["is_splits"] = 1
+    ev = score_generated(scfg, tag)
+    assert np.isfinite(ev["InceptionScore"]) and np.isfinite(ev["FID"])
+    assert os.path.exists(os.path.join(tmp, "result",
+                                       f"is_generated_{tag}.npy"))
+    dbi_val = score_created(scfg, tag)
+    assert np.isfinite(dbi_val)
+
+    from mcgm_tpu.cli.test_model import evaluate_best
+
+    logger = evaluate_best(dict(cfg), cfg["init_seed"])
+    assert np.isfinite(logger.mean["test/Loss"])
+    assert os.path.exists(os.path.join(tmp, "result", f"{tag}.pkl"))
