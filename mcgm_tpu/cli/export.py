@@ -22,15 +22,28 @@ from ._common import parse_cfg
 
 
 def main(argv=None, **defaults):
-    cfg = parse_cfg(argv, **defaults)
+    import argparse
+    import sys
+
+    # export-only flags are NOT config.yml keys, so parse_cfg would reject
+    # them — peel them off first, pass the remainder through
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--platforms", default=defaults.pop("platforms", None))
+    pre.add_argument("--batch", dest="export_batch",
+                     default=defaults.pop("export_batch", "b"))
+    own, rest = pre.parse_known_args(
+        sys.argv[1:] if argv is None else argv)
+    cfg = parse_cfg(rest, **defaults)
     cfg = apply_family_overrides(process_control(cfg))
     dataset = fetch_dataset(cfg["data_name"], cfg["subset"],
                             cfg.get("data_dir", "./data"))
     cfg = process_dataset(dataset["train"], cfg)
-    platforms = cfg.get("platforms")
+    platforms = own.platforms
     if isinstance(platforms, str):
         platforms = tuple(platforms.split(","))
-    batch = cfg.get("export_batch", "b")
+    batch = own.export_batch
+    if isinstance(batch, str) and batch.isdigit():
+        batch = int(batch)
     for i in range(cfg.get("num_experiments", 1)):
         seed = cfg["init_seed"] + i
         tag = make_model_tag(cfg, seed)

@@ -80,7 +80,11 @@ _OVERRIDES = {
                 metric_name={"train": ["Loss", "Loss_D", "Loss_G"],
                              "test": ["InceptionScore", "FID"]},
                 optimizer_name="Adam", weight_decay=0, scheduler_name="None",
-                loss_type="Hinge", grad_clip=None),
+                loss_type="Hinge", grad_clip=None,
+                # measured NOT to help the fused 5:1 step (DESIGN.md:
+                # 4,640 vs 4,717 img/s at k=4) — its 26 ms of compute
+                # already hides dispatch latency
+                steps_per_dispatch=1),
 }
 
 
@@ -255,6 +259,39 @@ class Experiment:
                 make_multi_train_step(base_step, k), donate_argnums=0)
         else:
             self.train_step_multi = None
+
+    def _iter_dispatch_groups(self, loader, limit):
+        """Yield ``(prepped_batches, ns)`` groups of up to
+        ``steps_per_dispatch`` consecutive SAME-SHAPE batches. A ragged
+        final batch (the single-device loader neither pads nor drops it)
+        always flushes into its own group, so full-k groups are guaranteed
+        stackable. Shared by the train and eval loops."""
+        k = getattr(self, "_steps_per_dispatch", 1)
+        g, ns = [], []
+        for i, batch in enumerate(loader):
+            if limit and i >= limit:
+                break
+            n = batch["n"]
+            b = self._prep_batch(batch)
+            if g and any(b[key].shape != g[0][key].shape for key in b):
+                yield g, ns
+                g, ns = [], []
+            g.append(b)
+            ns.append(n)
+            if len(g) == k:
+                yield g, ns
+                g, ns = [], []
+        if g:
+            yield g, ns
+
+    @staticmethod
+    def _stack_batches(prepped):
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *prepped)
+
+    @staticmethod
+    def _unstack_metrics(stacked_m, ns):
+        return [(jax.tree_util.tree_map(lambda a, j=j: a[j], stacked_m), n)
+                for j, n in enumerate(ns)]
 
     def _multi_eval(self, params, state, batches, rng):
         """k eval batches in one scan dispatch; carries the rng so the key
@@ -437,51 +474,47 @@ class Experiment:
         t0 = time.time()
         seen = 0
         k = getattr(self, "_steps_per_dispatch", 1)
-
-        def groups():
-            """Yield lists of up to k consecutive batches (k=1 → singles)."""
-            g = []
-            for i, batch in enumerate(loader):
-                if limit and i >= limit:
-                    break
-                g.append(batch)
-                if len(g) == k:
-                    yield g
-                    g = []
-            if g:
-                yield g
-
+        prof_done = False
         try:
             i = -1
-            for group in groups():
-                ns = [b["n"] for b in group]
-                prepped = [self._prep_batch(b) for b in group]
-                if prof_dir and i + 1 <= prof_warmup <= i + len(group):
+            for prepped, ns in self._iter_dispatch_groups(loader, limit):
+                start = i + 1
+                multi = len(prepped) == k and self.train_step_multi is not None
+                # tracing never starts INSIDE a fused dispatch: multi groups
+                # start at the first group boundary at/after prof_warmup;
+                # single-step execution keeps per-step warmup granularity
+                if (prof_dir and not tracing and not prof_done and multi
+                        and start >= prof_warmup):
                     jax.profiler.start_trace(prof_dir)
                     tracing = True
                 timer.start()
-                if len(group) == k and self.train_step_multi is not None:
+                if multi:
                     # one dispatch for k steps (identical math/rng chain to
                     # k sequential calls; see state.make_multi_train_step)
-                    stacked = jax.tree_util.tree_map(
-                        lambda *xs: jnp.stack(xs), *prepped)
-                    self.ts, stacked_m = self.train_step_multi(self.ts, stacked)
-                    step_metrics = [
-                        (jax.tree_util.tree_map(lambda a, j=j: a[j], stacked_m),
-                         ns[j]) for j in range(k)]
+                    self.ts, stacked_m = self.train_step_multi(
+                        self.ts, self._stack_batches(prepped))
+                    step_metrics = self._unstack_metrics(stacked_m, ns)
                 else:  # remainder (or k=1): plain per-step dispatches
                     step_metrics = []
-                    for b, n in zip(prepped, ns):
+                    for j, (b, n) in enumerate(zip(prepped, ns)):
+                        if (prof_dir and not tracing and not prof_done
+                                and start + j >= prof_warmup):
+                            jax.profiler.start_trace(prof_dir)
+                            tracing = True
                         self.ts, metrics = self.train_step(self.ts, b)
                         step_metrics.append((metrics, n))
+                        if tracing and start + j + 1 >= prof_warmup + prof_steps:
+                            jax.profiler.stop_trace()
+                            tracing = False
+                            prof_done = True
                 timer.stop(sum(ns))
                 buffered.extend(step_metrics)
                 seen += sum(ns)
-                start = i + 1
-                i += len(group)
+                i += len(prepped)
                 if tracing and i + 1 >= prof_warmup + prof_steps:
                     jax.profiler.stop_trace()
                     tracing = False
+                    prof_done = True
                 # log when a multiple of log_every falls inside this group
                 # (exactly the old per-step `i % log_every == 0` for k=1)
                 if start == 0 or (start - 1) // log_every != i // log_every:
@@ -522,40 +555,21 @@ class Experiment:
         # rng chain as sequential calls — the scan carries it)
         k_disp = getattr(self, "_steps_per_dispatch", 1)
         buffered = []
-        group, group_ns = [], []
-
-        def run_group():
-            nonlocal out, batch
-            if not group:
-                return
-            if len(group) == k_disp and k_disp > 1:
-                stacked = jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *group)
+        for prepped, ns in self._iter_dispatch_groups(loader, limit):
+            if len(prepped) == k_disp and k_disp > 1:
                 self.rng, metrics = self._multi_eval(
-                    self.ts.params, self.ts.state, stacked, self.rng)
-                for j, n_j in enumerate(group_ns):
-                    buffered.append((jax.tree_util.tree_map(
-                        lambda a, j=j: a[j], metrics), n_j))
+                    self.ts.params, self.ts.state,
+                    self._stack_batches(prepped), self.rng)
+                buffered.extend(self._unstack_metrics(metrics, ns))
             else:
-                for b, n_j in zip(group, group_ns):
+                for b, n_j in zip(prepped, ns):
                     self.rng, key = jax.random.split(self.rng)
                     out = self.eval_step(self.ts.params, self.ts.state, b, key)
                     buffered.append((self.test_metrics(b, out), n_j))
-            batch = group[-1]
-            group.clear(), group_ns.clear()
-
-        for i, batch in enumerate(loader):
-            if limit and i >= limit:
-                break
-            group_ns.append(batch["n"])
-            group.append(self._prep_batch(batch))
-            if len(group) == k_disp:
-                run_group()
-        run_group()
-        if cfg.get("show"):  # the grid needs real outputs for the last batch
-            if batch is not None:
-                self.rng, key = jax.random.split(self.rng)
-                out = self.eval_step(self.ts.params, self.ts.state, batch, key)
+            batch = prepped[-1]  # last PREPPED batch (for the show grid)
+        if cfg.get("show") and batch is not None:
+            self.rng, key = jax.random.split(self.rng)
+            out = self.eval_step(self.ts.params, self.ts.state, batch, key)
         self._flush_buffered(buffered, "test")
         if cfg.get("show") and out is not None and "img" in out:
             from ..io.images import save_image_grid

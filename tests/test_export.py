@@ -103,3 +103,16 @@ def test_export_multi_platform():
     got = np.asarray(fn(C, z))
     want = np.asarray(s.model.apply(s.variables, C, z, method="generate"))
     assert np.allclose(got, want, atol=1e-5)
+
+
+def test_export_cli_flags_parse(tmp_path):
+    """--platforms/--batch are export-only flags peeled off before parse_cfg
+    (code-review finding: parse_cfg rejected the documented invocation)."""
+    import pytest
+
+    from mcgm_tpu.cli.export import main
+
+    with pytest.raises(FileNotFoundError, match="best checkpoint"):
+        main(["--data_name", "Synthetic", "--model_name", "mcvae",
+              "--platforms", "cpu", "--batch", "4",
+              "--output_dir", str(tmp_path)])

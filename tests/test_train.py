@@ -201,3 +201,27 @@ def test_eval_multi_dispatch_matches_single(tmp_output):
         h[k] = (log.history["test/Loss"], log.history["test/BCE"])
     np.testing.assert_allclose(h[1][0], h[2][0], rtol=1e-6)
     np.testing.assert_allclose(h[1][1], h[2][1], rtol=1e-6)
+
+
+def test_dispatch_groups_handle_ragged_final_batch():
+    """A smaller final batch must flush into its own group instead of being
+    stacked with full-size batches (code-review finding: jnp.stack crashed
+    at the end of every epoch when batch-count % k == 0 but N % bs != 0)."""
+    import jax.numpy as jnp
+
+    exp = object.__new__(Experiment)
+    exp._steps_per_dispatch = 4
+    exp.family = "vae"
+
+    def mk(bs):
+        return {"img": jnp.zeros((bs, 4)), "label": jnp.zeros((bs,), jnp.int32),
+                "n": bs}
+
+    loader = [mk(16), mk(16), mk(16), mk(8)]  # 4 batches, k=4, last ragged
+    groups = list(exp._iter_dispatch_groups(loader, None))
+    assert [len(g) for g, _ in groups] == [3, 1]
+    assert [sum(ns) for _, ns in groups] == [48, 8]
+    # and a clean multiple still forms full groups
+    loader = [mk(16)] * 4 + [mk(8)]
+    groups = list(exp._iter_dispatch_groups(loader, None))
+    assert [len(g) for g, _ in groups] == [4, 1]

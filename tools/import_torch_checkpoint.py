@@ -59,14 +59,14 @@ def main():
     elif name == "classifier":
         dims = dict(hidden_size=cfg["classifier"]["hidden_size"],
                     res=cfg["data_shape"][0])
-    elif name == "mcgan":
+    elif name in ("mcgan", "cgan"):
         dims = dict(generator_hidden_size=cfg["gan"]["generator_hidden_size"],
                     discriminator_hidden_size=cfg["gan"]["discriminator_hidden_size"],
                     cifar_style=cfg["data_name"] in ("CIFAR10", "CIFAR100"),
                     res=cfg["data_shape"][0])
-    elif name == "mcpixelcnn":
+    elif name in ("mcpixelcnn", "cpixelcnn"):
         dims = dict(num_layer=cfg["pixelcnn"]["num_layer"])
-    elif name == "mcglow":
+    elif name in ("mcglow", "cglow"):
         dims = dict(K=cfg["glow"]["K"], L=cfg["glow"]["L"])
     else:
         raise SystemExit(f"no importer for {name!r} yet")
