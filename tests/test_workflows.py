@@ -105,3 +105,33 @@ def test_scoring_chain_end_to_end(trained):
     logger = evaluate_best(dict(cfg), cfg["init_seed"])
     assert np.isfinite(logger.mean["test/Loss"])
     assert os.path.exists(os.path.join(tmp, "result", f"{tag}.pkl"))
+
+
+def test_make_stats_dump_and_precomputed_fid(trained):
+    """metrics_tf side-tools analog: dump the real train set as an npy,
+    precompute the FID real-side Gaussian, then score through the
+    precomputed-stats fast path (reference fid_tf.py:355-357)."""
+    cfg, tag, tmp = trained
+    from mcgm_tpu.io.checkpoint import load_checkpoint
+
+    ccfg = make_tiny_cfg("classifier", tmp_dir=tmp, num_epochs=1,
+                         control_name="None")
+    from mcgm_tpu.config import make_model_tag
+
+    if load_checkpoint(ccfg, make_model_tag(ccfg, 0), "best") is None:
+        Experiment(ccfg).run()
+
+    from mcgm_tpu.cli.make_stats import dump_real, make_fid_stats
+    from mcgm_tpu.cli.test_generated import score_generated
+
+    dump_real(dict(cfg))
+    assert os.path.exists(
+        os.path.join(tmp, "npy", f"generated_0_{cfg['data_name']}.npy"))
+    make_fid_stats(dict(cfg))
+    stats = os.path.join(tmp, "fid_stats",
+                         f"fid_stats_{cfg['data_name']}_train.npz")
+    assert os.path.exists(stats)
+    scfg = dict(cfg)
+    scfg["is_splits"] = 1
+    ev = score_generated(scfg, tag)  # takes the precomputed-stats branch
+    assert np.isfinite(ev["FID"])
