@@ -164,13 +164,13 @@ def _load_processed(root: str, split: str, subset: str,
 # per-dataset packers: raw files -> {(split, subset): (img, labels, classes)}
 # --------------------------------------------------------------------------
 _MNIST_FILES = [
-    ("http://yann.lecun.com/exdb/mnist/train-images-idx3-ubyte.gz",
+    ("https://ossci-datasets.s3.amazonaws.com/mnist/train-images-idx3-ubyte.gz",
      "f68b3c2dcbeaaa9fbdd348bbdeb94873"),
-    ("http://yann.lecun.com/exdb/mnist/t10k-images-idx3-ubyte.gz",
+    ("https://ossci-datasets.s3.amazonaws.com/mnist/t10k-images-idx3-ubyte.gz",
      "9fb629c4189551a2d022fa330f9573f3"),
-    ("http://yann.lecun.com/exdb/mnist/train-labels-idx1-ubyte.gz",
+    ("https://ossci-datasets.s3.amazonaws.com/mnist/train-labels-idx1-ubyte.gz",
      "d53e105ee54ea40749a09fcbcd1e9432"),
-    ("http://yann.lecun.com/exdb/mnist/t10k-labels-idx1-ubyte.gz",
+    ("https://ossci-datasets.s3.amazonaws.com/mnist/t10k-labels-idx1-ubyte.gz",
      "ec29112dd5afa0611ce80d1b7f02629c"),
 ]
 
@@ -351,7 +351,7 @@ _SYNTH_CACHE: dict = {}
 def _make_synthetic(channels: int, n_train: int = 1024, n_test: int = 512,
                     num_classes: int = 10):
     """Class-separable blob images: class-keyed base pattern + noise."""
-    key = (channels, n_train, n_test)
+    key = (channels, n_train, n_test, num_classes)
     if key in _SYNTH_CACHE:
         return _SYNTH_CACHE[key]
     rng = np.random.default_rng(20260816)

@@ -62,15 +62,28 @@ def download_url(url: str, root: str, filename: str | None = None,
     return path
 
 
+def _safe_zip_members(z: "zipfile.ZipFile", dest: str):
+    """Yield only members that resolve inside ``dest`` (no path traversal).
+
+    Guards unverified archives (COIL100 ships with no published md5, matching
+    the reference's ``md5=None`` at /root/reference/src/datasets/coil.py:14).
+    """
+    base = os.path.realpath(dest)
+    for m in z.infolist():
+        target = os.path.realpath(os.path.join(dest, m.filename))
+        if target == base or target.startswith(base + os.sep):
+            yield m
+
+
 def extract_file(path: str, dest: str | None = None) -> None:
     """Extract zip / tar(.gz|.bz2) / plain .gz next to the archive."""
     dest = dest or os.path.dirname(path)
     if zipfile.is_zipfile(path):
         with zipfile.ZipFile(path) as z:
-            z.extractall(dest)
+            z.extractall(dest, members=list(_safe_zip_members(z, dest)))
     elif tarfile.is_tarfile(path):
         with tarfile.open(path) as t:
-            t.extractall(dest)
+            t.extractall(dest, filter="data")  # Py3.12 traversal-safe filter
     elif path.endswith(".gz"):
         out = os.path.join(dest, os.path.basename(path)[:-3])
         with gzip.open(path, "rb") as f, open(out, "wb") as g:

@@ -35,12 +35,20 @@ def initialize(**kwargs) -> None:
     ``jax.distributed.initialize`` unconditionally raises — so the
     already-wired check reads the distributed global state directly.
     """
-    from jax._src import distributed
+    try:  # private-state probe; a JAX upgrade may move it — degrade gracefully
+        from jax._src import distributed
 
-    if distributed.global_state.client is not None:
-        return  # already initialized by the launcher / an earlier call
+        if distributed.global_state.client is not None:
+            return  # already initialized by the launcher / an earlier call
+    except (ImportError, AttributeError):
+        pass  # fall through to initialize() and rely on its own error
     try:
         jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return  # initialized by the launcher; same end state
+        if kwargs:
+            raise  # explicit multi-host request must not fail silently
     except Exception:
         if kwargs:
             raise  # explicit multi-host request must not fail silently

@@ -30,6 +30,9 @@ import copy
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# importlib import-mode (pytest.ini) doesn't auto-add the test dir; tests
+# import helpers by bare name (`from conftest import make_tiny_cfg`).
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mcgm_tpu.config import apply_control_name, load_config, process_control
 
