@@ -94,22 +94,32 @@ class DataLoader:
             if self.pad_to_batch and true_n < bs:
                 # pad by tiling from the epoch head (modular, so even a
                 # dataset smaller than the pad fills the fixed SPMD batch
-                # shape); 'n' carries the truth for weighting
+                # shape); 'n' carries the truth for weighting and 'w' masks
+                # padded rows out of every loss/metric mean (exact eval —
+                # no padded row ever enters a reduction)
                 pad = np.take(order, np.arange(bs - true_n), mode="wrap")
                 idx = np.concatenate([idx, pad])
             if self.sharding is not None:
                 img = self.dataset.img[idx]
                 lab = self.dataset.labels[idx]
-                batch = jax.device_put(
-                    {"img": img, "label": np.asarray(lab, np.int32)},
-                    self.sharding)
-                img = normalize_images(batch["img"])
-                yield {"img": img, "label": batch["label"], "n": true_n}
+                host = {"img": img, "label": np.asarray(lab, np.int32)}
+                if self.pad_to_batch:
+                    host["w"] = (np.arange(bs) < true_n).astype(np.float32)
+                batch = jax.device_put(host, self.sharding)
+                out = {"img": normalize_images(batch["img"]),
+                       "label": batch["label"], "n": true_n}
+                if self.pad_to_batch:
+                    out["w"] = batch["w"]
+                yield out
             else:
                 img_u8, labels = self._stage()
                 img, lab = _gather_normalize(img_u8, labels,
                                              jnp.asarray(idx, jnp.int32))
-                yield {"img": img, "label": lab, "n": true_n}
+                out = {"img": img, "label": lab, "n": true_n}
+                if self.pad_to_batch:
+                    out["w"] = jnp.asarray(
+                        (np.arange(len(idx)) < true_n).astype(np.float32))
+                yield out
 
 
 def make_data_loader(dataset: dict, cfg: dict, seed: int = 0,

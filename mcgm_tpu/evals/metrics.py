@@ -179,34 +179,40 @@ def make_device_metrics(names):
     per-batch metric evaluation the reference does on host
     (train_vae.py:112-113) fuses into the step and costs no extra transfers.
     Only metrics computable from one batch are supported here; IS/FID/DBI are
-    corpus-level and stay in :class:`Metric`.
+    corpus-level and stay in :class:`Metric`. A ``batch['w']`` validity mask
+    (SPMD eval padding, data/loader.py) excludes padded rows from every mean
+    via :func:`ops.layers.weighted_mean` — eval is exact, not approximately
+    weighted.
     """
     from ..models.vae import binary_cross_entropy
+    from ..ops.layers import weighted_mean
 
     def fn(batch, output):
+        w = batch.get("w")
         out = {}
         for name in names:
             if name in ("Loss", "Loss_G", "Loss_D"):
                 key = {"Loss": "loss", "Loss_G": "loss_G", "Loss_D": "loss_D"}[name]
                 out[name] = output[key]
             elif name == "MSE":
-                out[name] = jnp.mean((output["img"] - batch["img"]) ** 2)
+                out[name] = weighted_mean((output["img"] - batch["img"]) ** 2, w)
             elif name == "BCE":
                 p = (output["img"].astype(jnp.float32) + 1) / 2
                 t = (batch["img"].astype(jnp.float32) + 1) / 2
-                out[name] = jnp.mean(binary_cross_entropy(p, t))
+                out[name] = weighted_mean(binary_cross_entropy(p, t), w)
             elif name == "NLL":
                 logp = jax.nn.log_softmax(output["logits"].astype(jnp.float32), axis=-1)
-                out[name] = -jnp.mean(
-                    jnp.take_along_axis(logp, batch["img"][..., None], axis=-1)
+                out[name] = weighted_mean(
+                    -jnp.take_along_axis(logp, batch["img"][..., None], axis=-1), w
                 )
             elif name == "PSNR":
-                m = jnp.mean((output["img"].astype(jnp.float32)
-                              - batch["img"].astype(jnp.float32)) ** 2)
+                m = weighted_mean((output["img"].astype(jnp.float32)
+                                   - batch["img"].astype(jnp.float32)) ** 2, w)
                 out[name] = -10.0 * jnp.log10(m)
             elif name == "Accuracy":
                 pred = jnp.argmax(output["label"], axis=-1)
-                out[name] = jnp.mean((pred == batch["label"]).astype(jnp.float32)) * 100
+                hit = (pred == batch["label"]).astype(jnp.float32)
+                out[name] = weighted_mean(hit, w) * 100
             else:
                 raise ValueError(f"metric {name} is not a per-batch device metric")
         return out

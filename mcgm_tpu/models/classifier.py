@@ -13,12 +13,12 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.layers import BatchNorm, Conv, Dense, max_pool
+from ..ops.layers import BatchNorm, Conv, Dense, max_pool, weighted_mean
 
 
-def cross_entropy(logits, labels):
+def cross_entropy(logits, labels, w=None):
     logp = jax.nn.log_softmax(logits.astype(jnp.float32))
-    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+    return weighted_mean(-jnp.take_along_axis(logp, labels[:, None], axis=1), w)
 
 
 class Classifier(nn.Module):
@@ -42,7 +42,7 @@ class Classifier(nn.Module):
         logits = Dense(self.classes_size, name="classifier")(x)
         out = {"label": logits}
         if isinstance(batch, dict) and "label" in batch:
-            out["loss"] = cross_entropy(logits, batch["label"])
+            out["loss"] = cross_entropy(logits, batch["label"], batch.get("w"))
         return out
 
     def feature(self, batch, train: bool = False):

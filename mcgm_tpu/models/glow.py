@@ -415,13 +415,19 @@ class Block(nn.Module):
 
 
 class _GlowBase(nn.Module):
-    def loss_fn(self, log_p, logdet, train: bool):
-        """bits/dim with NaN masking (reference mcglow.py:283-293)."""
+    def loss_fn(self, log_p, logdet, train: bool, w=None):
+        """bits/dim with NaN masking (reference mcglow.py:283-293).
+
+        ``w`` [B]: SPMD eval padding mask — padded rows are dropped the same
+        way NaN rows are (they never enter the mean).
+        """
         n_pixel = float(np.prod(self.data_shape))
         loss = -math.log(256.0) * n_pixel + logdet + log_p
         loss = -loss / (math.log(2.0) * n_pixel)
         nan = jnp.isnan(loss) | jnp.isinf(loss)
-        if train:
+        if w is not None:
+            nan = nan | (w <= 0)
+        if train and w is None:
             return jnp.mean(jnp.where(nan, 0.0, loss))
         ok = jnp.sum(~nan)
         return jnp.sum(jnp.where(nan, 0.0, loss)) / jnp.maximum(ok, 1)
@@ -439,7 +445,7 @@ class _GlowBase(nn.Module):
             z_list.append(z_new)
             logdet = logdet + det
             log_p_sum = log_p_sum + log_p
-        loss = self.loss_fn(log_p_sum, logdet, train)
+        loss = self.loss_fn(log_p_sum, logdet, train, batch.get("w"))
         return {"loss": loss, "z": z_list}
 
     def reverse(self, z_list, C, reconstruct: bool = False):

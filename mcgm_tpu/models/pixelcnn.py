@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.controller import MultimodalController, one_hot
-from ..ops.layers import BatchNorm, Conv
+from ..ops.layers import BatchNorm, Conv, weighted_mean
 
 
 def _vert_mask(kernel: int, mask_type: str) -> np.ndarray:
@@ -131,7 +131,7 @@ class _PixelCNNBase(nn.Module):
         logits = self.head(x_h, indicator, train)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, x[..., None], axis=-1)
-        return {"loss": jnp.mean(nll), "logits": logits}
+        return {"loss": weighted_mean(nll, batch.get("w")), "logits": logits}
 
     def logits(self, batch, train: bool = False):
         return self(batch, train)["logits"]

@@ -29,11 +29,21 @@ def binary_cross_entropy(p, t):
     return -(t * logp + (1.0 - t) * log1p)
 
 
-def vae_loss(x01, recon, mu, logvar):
-    """(BCE_sum + KLD) / numel (reference src/models/mcvae.py:10-14)."""
-    bce = jnp.sum(binary_cross_entropy(recon, x01))
-    kld = 0.5 * jnp.sum(mu**2 + jnp.exp(logvar) - 1.0 - logvar)
-    return (bce + kld) / x01.size
+def vae_loss(x01, recon, mu, logvar, w=None):
+    """(BCE_sum + KLD) / numel (reference src/models/mcvae.py:10-14).
+
+    ``w`` [B]: optional validity mask (SPMD eval padding) — masked rows drop
+    out of both sums and the numel denominator counts only valid rows.
+    """
+    b = x01.shape[0]
+    bce_i = jnp.sum(binary_cross_entropy(recon, x01).reshape(b, -1), axis=1)
+    kld_i = 0.5 * jnp.sum(
+        (mu**2 + jnp.exp(logvar) - 1.0 - logvar).reshape(b, -1), axis=1)
+    per = bce_i + kld_i
+    if w is None:
+        return jnp.sum(per) / x01.size
+    w = w.astype(per.dtype)
+    return jnp.sum(per * w) / (jnp.maximum(jnp.sum(w), 1.0) * (x01.size // b))
 
 
 class MCResBlock(nn.Module):
@@ -188,7 +198,7 @@ class _VAEBase(nn.Module):
         else:
             z = mu
         recon = self.decoder(z, indicator, train)
-        loss = vae_loss(x01, recon, mu, logvar)
+        loss = vae_loss(x01, recon, mu, logvar, batch.get("w"))
         return {"loss": loss, "img": recon * 2.0 - 1.0, "mu": mu, "logvar": logvar}
 
     def encode(self, x01, indicator, train: bool = False):

@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.layers import BatchNorm, Conv, ConvTranspose
+from ..ops.layers import BatchNorm, Conv, ConvTranspose, weighted_mean
 from ..ops.vq import VectorQuantizerEMA
 from .vae import ResBlock
 
@@ -71,9 +71,9 @@ class VQVAE(nn.Module):
         self.quantizer = VectorQuantizerEMA(self.embedding_size, self.num_embedding)
         self.decoder = _Decoder(self.data_shape, self.hidden_size, self.num_res_block)
 
-    def encode(self, x, train: bool = False):
+    def encode(self, x, train: bool = False, w=None):
         h = self.encoder(x, train)
-        quantized, vq_diff, code = self.quantizer(h, train=train)
+        quantized, vq_diff, code = self.quantizer(h, train=train, w=w)
         return quantized, vq_diff, code
 
     def decode(self, quantized, train: bool = False):
@@ -85,8 +85,10 @@ class VQVAE(nn.Module):
 
     def __call__(self, batch, train: bool = False):
         x = batch["img"]
-        quantized, vq_diff, code = self.encode(x, train)
+        w = batch.get("w")  # SPMD eval padding mask (exact eval)
+        quantized, vq_diff, code = self.encode(x, train, w=w)
         recon = self.decode(quantized, train)
-        mse = jnp.mean((recon.astype(jnp.float32) - x.astype(jnp.float32)) ** 2)
+        mse = weighted_mean(
+            (recon.astype(jnp.float32) - x.astype(jnp.float32)) ** 2, w)
         loss = mse + self.vq_commit * vq_diff
         return {"loss": loss, "img": recon, "code": code}

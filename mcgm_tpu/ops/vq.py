@@ -26,8 +26,14 @@ class VectorQuantizerEMA(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False):
-        """Quantize ``x`` ``[..., D]`` → (quantized, commit_diff, code_indices)."""
+    def __call__(self, x: jax.Array, train: bool = False, w=None):
+        """Quantize ``x`` ``[..., D]`` → (quantized, commit_diff, code_indices).
+
+        ``w`` [B]: optional per-sample validity mask (SPMD eval padding);
+        masked samples are excluded from the commit diff and, under train,
+        from the EMA counts/sums (train batches are never padded in
+        practice — data/loader.py drops the last partial train batch).
+        """
         D, K = self.embedding_size, self.num_embedding
         embedding = self.variable(
             "vq_stats", "embedding",
@@ -41,6 +47,11 @@ class VectorQuantizerEMA(nn.Module):
         )
 
         flat = x.reshape(-1, D).astype(jnp.float32)
+        wf = None
+        if w is not None:  # [B] -> one weight per spatial position, [N]
+            wf = jnp.broadcast_to(
+                w.astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 2)),
+                x.shape[:-1]).reshape(-1)
         emb = embedding.value
         # argmin_k |x - e_k|^2 via expanded form; the cross term is one MXU matmul.
         dist = (
@@ -55,8 +66,9 @@ class VectorQuantizerEMA(nn.Module):
 
         if train and self.is_mutable_collection("vq_stats"):
             d = self.decay
-            new_cluster = cluster_size.value * d + onehot.sum(0) * (1 - d)
-            emb_sum = flat.T @ onehot  # [D, K]
+            oh = onehot if wf is None else onehot * wf[:, None]
+            new_cluster = cluster_size.value * d + oh.sum(0) * (1 - d)
+            emb_sum = flat.T @ oh  # [D, K]
             new_mean = embedding_mean.value * d + emb_sum * (1 - d)
             n = new_cluster.sum()
             smoothed = (new_cluster + self.eps) / (n + K * self.eps) * n
@@ -65,7 +77,12 @@ class VectorQuantizerEMA(nn.Module):
             embedding.value = new_mean / smoothed[None, :]
 
         x32 = x.astype(jnp.float32)
-        diff = jnp.mean((jax.lax.stop_gradient(quantize) - x32) ** 2)
+        sq = (jax.lax.stop_gradient(quantize) - x32) ** 2
+        if wf is None:
+            diff = jnp.mean(sq)
+        else:
+            per_pos = sq.reshape(-1, D).mean(axis=1)
+            diff = jnp.sum(per_pos * wf) / jnp.maximum(jnp.sum(wf), 1.0)
         quantize = x32 + jax.lax.stop_gradient(quantize - x32)
         return quantize.astype(x.dtype), diff, code
 

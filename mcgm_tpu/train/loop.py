@@ -138,6 +138,18 @@ class Experiment:
         self.dataset = dataset
         self.loaders = make_data_loader(dataset, cfg, seed=self.seed,
                                         sharding=sharding)
+        if sharding is not None:
+            # exact eval under SPMD: the train loader drops its final partial
+            # batch (gradient correctness), so epoch eval — which the
+            # reference runs on the TRAIN split (train_vae.py:77) — would
+            # silently skip up to batch_size-1 samples. A dedicated padded
+            # loader covers every sample exactly once; its 'w' mask drops
+            # padded rows from every loss/metric mean.
+            from ..data.loader import DataLoader as _DL
+
+            self.loaders["train_eval"] = _DL(
+                dataset["train"], cfg["batch_size"]["train"], shuffle=False,
+                seed=self.seed, pad_to_batch=True, sharding=sharding)
         self.model = build_model(cfg)
         self.rng, init_key = jax.random.split(self.rng)
         self._build_family(init_key)
@@ -546,7 +558,7 @@ class Experiment:
     def _test_eval_loader(self, epoch: int):
         """Eval on the TRAIN split (reference train_vae.py:77 et al.)."""
         cfg = self.cfg
-        loader = self.loaders["train"]
+        loader = self.loaders.get("train_eval", self.loaders["train"])
         limit = cfg.get("limit_eval_batches")
         out = batch = None
         # same async pattern as train_epoch: metrics stay on device until
