@@ -75,6 +75,22 @@ def _cast_out(y):
     return y if dt is None else y.astype(dt)
 
 
+def weighted_mean(per_elem: jax.Array, w: jax.Array | None) -> jax.Array:
+    """Batch mean of ``per_elem`` [B, ...] honoring validity weights ``w`` [B].
+
+    With ``w=None`` this is ``jnp.mean(per_elem)`` exactly. With a 0/1 mask
+    (the eval loader's SPMD padding mask, data/loader.py) padded rows are
+    excluded from the mean — the exact-eval mechanism replacing the padded
+    approximation documented as round-2 deviation #8.
+    """
+    per_elem = per_elem.astype(jnp.float32)
+    if w is None:
+        return jnp.mean(per_elem)
+    per_sample = per_elem.reshape(per_elem.shape[0], -1).mean(axis=1)
+    w = w.astype(jnp.float32)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def torch_bias_init(fan_in: int) -> Callable:
     bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
 
@@ -321,6 +337,40 @@ def upsampled_conv3x3(x: jax.Array, kernel: jax.Array,
     return y.reshape(b, 2 * h, 2 * w, -1)
 
 
+def _up4_kernel(w: jax.Array) -> jax.Array:
+    """3x3 kernel -> 4x4 composite ``W4[i,j] = Σ_{di,dj∈{0,1}} W[i-di,j-dj]``
+    (the 2-D full convolution of W with ones(2,2), i.e. nearest-up2 folded
+    INTO the kernel instead of into four phase kernels)."""
+    p = jnp.pad
+    return (p(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+            + p(w, ((0, 1), (1, 0), (0, 0), (0, 0)))
+            + p(w, ((1, 0), (0, 1), (0, 0), (0, 0)))
+            + p(w, ((1, 0), (1, 0), (0, 0), (0, 0))))
+
+
+def upsampled_conv3x3_dilated(x: jax.Array, kernel: jax.Array,
+                              pref=None) -> jax.Array:
+    """``conv3x3(pad=1)(nearest_up2(x))`` as ONE lhs-dilated conv.
+
+    Same re-association as :func:`upsampled_conv3x3` (exact), but the
+    2H x 2W output is written directly by the conv — no phase stack /
+    interleave concat / layout copy. Measured in the fused GAN step the
+    phase version's interleave materialization cost ~1.26 ms/step
+    (pad_maximum/copy fusions in the round-3 profile); this form deletes it.
+    """
+    return jax.lax.conv_general_dilated(
+        x, _up4_kernel(kernel), (1, 1), [(2, 2), (2, 2)],
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=pref,
+    )
+
+
+# full-step A/B'd implementation switch (tools/ab_gan_step.py): 'dilated' or
+# 'phase4' — see docs/DESIGN.md round-3 notes for the measured numbers.
+UPCONV_IMPL = ["dilated"]
+
+
 class UpsampledConv(nn.Module):
     """Fused nearest-up(2) + Conv(3x3, pad 1). Param-compatible with Conv
     (same "kernel"/"bias" shapes) so it can transparently replace the
@@ -336,7 +386,9 @@ class UpsampledConv(nn.Module):
         in_ch = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init, (3, 3, in_ch, self.features))
         xc, kc = _cast_compute(x, kernel)
-        y = _cast_out(upsampled_conv3x3(xc, kc, pref=_pref()))
+        impl = (upsampled_conv3x3_dilated if UPCONV_IMPL[0] == "dilated"
+                else upsampled_conv3x3)
+        y = _cast_out(impl(xc, kc, pref=_pref()))
         if self.use_bias:
             binit = self.bias_init or torch_bias_init(in_ch * 9)
             bias = self.param("bias", binit, (self.features,))

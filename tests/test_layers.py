@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from mcgm_tpu.ops.layers import (Conv, ConvTranspose, Dense, SNConv, SNDense,
                                  avg_pool, global_sum_pool, max_pool,
@@ -84,15 +85,23 @@ def test_spectral_norm_no_update_in_eval():
                           np.asarray(v["spectral"]["u"]))
 
 
-def test_upsampled_conv_matches_naive_composition():
-    """UpsampledConv == Conv(3x3,pad1) on nearest-up(2) input, same params
-    (the phase-decomposed fold must be exact up to float reassociation)."""
-    from mcgm_tpu.ops.layers import UpsampledConv
+@pytest.mark.parametrize("impl", ["dilated", "phase4"])
+def test_upsampled_conv_matches_naive_composition(impl):
+    """UpsampledConv == Conv(3x3,pad1) on nearest-up(2) input, same params,
+    for BOTH implementations: the lhs-dilated single conv (production
+    default — writes the interleaved output directly) and the 4-phase
+    decomposition (kept as the measured alternative)."""
+    from mcgm_tpu.ops.layers import UPCONV_IMPL, UpsampledConv
 
     x = jax.random.normal(K, (2, 5, 7, 6))
     fused = UpsampledConv(4)
     v = fused.init(K, x)
-    got = fused.apply(v, x)
+    old = UPCONV_IMPL[0]
+    try:
+        UPCONV_IMPL[0] = impl
+        got = fused.apply(v, x)
+    finally:
+        UPCONV_IMPL[0] = old
     naive = Conv(4, 3, 1, 1).apply(v, upsample_nearest(x, 2))
     assert got.shape == (2, 10, 14, 4)
     assert np.allclose(np.asarray(got), np.asarray(naive), atol=1e-5)
@@ -117,9 +126,10 @@ def test_snconvpool_matches_naive_composition():
                        np.asarray(mut_naive["spectral"]["u"]), atol=1e-6)
 
 
-def test_upsampled_conv_gradients_match_naive():
+@pytest.mark.parametrize("impl", ["dilated", "phase4"])
+def test_upsampled_conv_gradients_match_naive(impl):
     """Autodiff through the fold equals autodiff through the composition."""
-    from mcgm_tpu.ops.layers import UpsampledConv
+    from mcgm_tpu.ops.layers import UPCONV_IMPL, UpsampledConv
 
     x = jax.random.normal(K, (2, 4, 4, 3))
     fused = UpsampledConv(4)
@@ -131,7 +141,12 @@ def test_upsampled_conv_gradients_match_naive():
     def loss_naive(p):
         return jnp.sum(Conv(4, 3, 1, 1).apply(p, upsample_nearest(x, 2)) ** 2)
 
-    g1 = jax.grad(loss_fused)(v)
+    old = UPCONV_IMPL[0]
+    try:
+        UPCONV_IMPL[0] = impl
+        g1 = jax.grad(loss_fused)(v)
+    finally:
+        UPCONV_IMPL[0] = old
     g2 = jax.grad(loss_naive)(v)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
