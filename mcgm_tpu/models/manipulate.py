@@ -60,8 +60,153 @@ def _mix_rows(weight, mix, axis):
     return jnp.moveaxis(mixed, 0, axis)
 
 
-def create(variables, classes_size: int, rng_seed: int = 0):
+_TORCH_TOP_RANK = {"encoder": 0, "decoder": 1, "generator": 0,
+                   "discriminator": 1}
+
+
+def _nat(name: str) -> int:
+    import re
+
+    m = re.search(r"_(\d+)$", str(name))
+    return int(m.group(1)) if m else -1
+
+
+def _ref_order_key(family: str, parts: tuple):
+    """Sort key reproducing the REFERENCE's named_modules() registration
+    order for create-matched modules (torch registers submodules in
+    execution order, and our flax call order mirrors the same architecture —
+    verified against live reference model dumps; see
+    tests/test_torch_parity.py create tests)."""
+    parts = [str(p) for p in parts]
+    if family == "vae":
+        top = _TORCH_TOP_RANK.get(parts[0], 9)
+        if len(parts) > 1 and parts[1].startswith("MCResBlock"):
+            return (top, 1, _nat(parts[1]), _nat(parts[2]))
+        i = _nat(parts[1]) if len(parts) > 1 else 0
+        if top == 1:  # decoder: MC_0, MC_1, res blocks, MC_2+ (mcvae.py:70-95)
+            return (top, 0 if i < 2 else 2, i, 0)
+        return (top, 0, i, 0)
+    if family == "gan":
+        top = _TORCH_TOP_RANK.get(parts[0], 9)
+        name = parts[1] if len(parts) > 1 else ""
+        if name.startswith("_MC") or name.startswith("_C"):
+            blk = -1 if "First" in name else _nat(name)
+            mc = 0 if parts[2] == "mc_1" else 1
+            return (top, 0, blk, mc)
+        return (top, 1, 0, 0)  # trailing head controller / embedding
+    if family == "pixelcnn":
+        if parts[0] == "head":
+            return (1, 0, 0)
+        sub = {"gate_v": 0, "gate_h": 1, "horiz_resid_mc": 2,
+               "class_cond_embedding": 0}.get(parts[1], 0)
+        return (0, _nat(parts[0]), sub)
+    if family == "glow":
+        bi = _nat(parts[0])
+        fl = _nat(parts[1]) if parts[1].startswith("flow_") else -1
+        mc = max(_nat(parts[-2]), 0)
+        return (bi, fl, mc)
+    return tuple(parts)
+
+
+def _torch_create_codebook(classes_size: int, features: int) -> np.ndarray:
+    """Reference create_codebook under the torch global stream
+    (models/utils.py:34-44): Bernoulli(0.5) batches of shape
+    [classes_size, features], deduped through a Python set of float tuples,
+    first classes_size rows in set-iteration order."""
+    import torch
+
+    d = torch.distributions.bernoulli.Bernoulli(probs=0.5)
+    out: set = set()
+    while len(out) < classes_size:
+        batch = d.sample((classes_size, features))
+        out.update(tuple(c) for c in batch.tolist())
+    return np.asarray(list(out)[:classes_size], np.float32)
+
+
+def _torch_create_mix(classes_size: int, old_modes: int) -> np.ndarray:
+    """Reference create_embedding's Dirichlet(1) convex weights
+    (models/utils.py:24-31) drawn from the torch global stream."""
+    import torch
+
+    conc = torch.ones(old_modes)
+    m = torch.distributions.dirichlet.Dirichlet(conc)
+    return m.sample((classes_size,)).numpy().astype(np.float32)
+
+
+def create_torch_compat(variables, classes_size: int, seed: int,
+                        model_name: str):
+    """Bit-exact replica of the reference ``create`` stream.
+
+    The reference seeds torch once (create.py:40) and then draws fresh
+    codebooks / Dirichlet mixes while iterating ``named_modules()``
+    (models/utils.py:47-88); reproducing the *created* modes of a migrated
+    experiment therefore requires drawing in that exact module order, which
+    :func:`_ref_order_key` encodes per family. Notes mirroring reference
+    quirks: the cgan discriminator embedding consumes a Dirichlet draw but
+    the assignment is dead (torch spectral norm recomputes ``weight`` from
+    ``weight_orig`` on the next forward), so the draw is consumed and the
+    kernel left unchanged.
+    """
+    import torch
+
+    family = next(f for f in ("vae", "gan", "pixelcnn", "glow")
+                  if f in model_name)
+    torch.manual_seed(seed)
+    matched = []  # (kind, collection-relative parts, full path)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(variables):
+        parts = tuple(getattr(p, "key", p) for p in path)
+        if _is_codebook(path):
+            matched.append(("codebook", parts[1:], parts, leaf))
+        elif _embedding_axis(path) is not None:
+            matched.append(("embedding", parts[1:], parts, leaf))
+    matched.sort(key=lambda m: _ref_order_key(family, m[1]))
+    replacements = {}
+    for kind, rel, parts, leaf in matched:
+        if kind == "codebook":
+            if leaf.ndim == 3:  # scanned glow: [K, num_mode, C], 2 MCs/flow
+                continue  # handled pairwise below
+            replacements[parts] = jnp.asarray(
+                _torch_create_codebook(classes_size, leaf.shape[-1]))
+        else:
+            axis = _embedding_axis([jax.tree_util.DictKey(p) for p in parts])
+            mix = _torch_create_mix(classes_size, leaf.shape[axis])
+            if family == "gan" and rel[0] == "discriminator":
+                replacements[parts] = leaf  # dead assignment (SN recompute)
+            else:
+                replacements[parts] = _mix_rows(leaf, mix, axis)
+    # scanned glow stacked leaves: reference order is flow-major
+    # (flow k: MC_0 then MC_1), our leaves are stacked per MC position
+    stacked = [(rel, parts, leaf) for kind, rel, parts, leaf in matched
+               if kind == "codebook" and leaf.ndim == 3]
+    if stacked:
+        by_block: dict = {}
+        for rel, parts, leaf in stacked:
+            by_block.setdefault(str(rel[0]), []).append((rel, parts, leaf))
+        for block in sorted(by_block, key=_nat):
+            mcs = sorted(by_block[block], key=lambda m: _nat(m[0][-2]))
+            K = mcs[0][2].shape[0]
+            draws = {parts: [] for _, parts, _ in mcs}
+            for _ in range(K):
+                for _, parts, leaf in mcs:
+                    draws[parts].append(_torch_create_codebook(
+                        classes_size, leaf.shape[-1]))
+            for _, parts, _ in mcs:
+                replacements[parts] = jnp.stack(
+                    [jnp.asarray(d) for d in draws[parts]])
+
+    def transform(path, leaf):
+        parts = tuple(getattr(p, "key", p) for p in path)
+        return replacements.get(parts, leaf)
+
+    return jax.tree_util.tree_map_with_path(transform, variables)
+
+
+def create(variables, classes_size: int, rng_seed: int = 0,
+           torch_compat: bool = False, model_name: str = ""):
     """Re-randomize mode identities (reference create — models/utils.py:47-88)."""
+    if torch_compat:
+        return create_torch_compat(variables, classes_size, rng_seed,
+                                   model_name)
     counter = [0]
 
     def transform(path, leaf):

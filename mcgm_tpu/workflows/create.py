@@ -24,8 +24,14 @@ from .generate import class_sweep
 
 
 def _created_sampler(sampler: Sampler, classes_size: int, seed: int) -> Sampler:
-    """Re-randomize modes, rebuilding the model if the mode count changes."""
-    new_vars = create(sampler.variables, classes_size, rng_seed=seed)
+    """Re-randomize modes, rebuilding the model if the mode count changes.
+
+    ``cfg['torch_compat']`` draws the fresh codebooks/mixes from the torch
+    stream in the reference's named_modules order, so a migrated experiment
+    reproduces its created modes bit-for-bit (models/manipulate.py)."""
+    new_vars = create(sampler.variables, classes_size, rng_seed=seed,
+                      torch_compat=bool(sampler.cfg.get("torch_compat")),
+                      model_name=sampler.cfg["model_name"])
     if classes_size != sampler.cfg["classes_size"]:
         cfg = dict(sampler.cfg)
         cfg["classes_size"] = classes_size
