@@ -75,6 +75,23 @@ def _code(sd: _SD, key: str) -> dict:
     return {"codebook": sd(f"{key}.codebook")}
 
 
+def _conv_fold_bias(sd: _SD, key: str) -> tuple[dict, "np.ndarray"]:
+    """Consume a torch conv whose bias our generator blocks no longer carry.
+
+    Returns (bias-free conv params, the torch bias). The caller folds the
+    bias into the FOLLOWING BatchNorm's running mean: BN(x + b) with batch
+    stats equals BN(x) (the shift cancels), and eval-mode equality holds
+    when running_mean is shifted by -b — exact in both modes, because torch's
+    running_mean was estimated on the biased activations."""
+    return _conv(sd, key, bias=False), sd(f"{key}.bias")
+
+
+def _fold_into_bn(bn_stats: dict, *biases) -> None:
+    import numpy as np
+
+    bn_stats["bn"]["mean"] = bn_stats["bn"]["mean"] - np.sum(biases, axis=0)
+
+
 def _hwc_perm(c: int, h: int, w: int) -> np.ndarray:
     """Index array mapping HWC-flattened positions to CHW-flattened ones.
 
@@ -319,14 +336,22 @@ def convert_mcgan(state_dict: dict, generator_hidden_size,
     g_p, g_s, g_c = {}, {}, {}
     g_p["Dense_0"] = _dense_out_perm(sd, "generator.linear.module",
                                      _hwc_perm(gh[0], start, start))
+    carry_bias = None  # LAST block's Conv_1+Conv_2 biases -> head BN_0
     for i in range(Lg - 1):
         b = f"generator.blocks.{i}"
+        last = i == Lg - 2
         bp, bs, bc = {}, {}, {}
         bp["BatchNorm_0"], bs["BatchNorm_0"] = _bn(sd, f"{b}.conv.0.module")
-        bp["Conv_0"] = _conv(sd, f"{b}.conv.4.module")
+        bp["Conv_0"], b0 = _conv_fold_bias(sd, f"{b}.conv.4.module")
         bp["BatchNorm_1"], bs["BatchNorm_1"] = _bn(sd, f"{b}.conv.5.module")
-        bp["Conv_1"] = _conv(sd, f"{b}.conv.8.module")
-        bp["Conv_2"] = _conv(sd, f"{b}.shortcut.2.module")
+        _fold_into_bn(bs["BatchNorm_1"], b0)
+        if last:  # tail_bias_free: output feeds the head BN with no bypass
+            bp["Conv_1"], b1 = _conv_fold_bias(sd, f"{b}.conv.8.module")
+            bp["Conv_2"], b2 = _conv_fold_bias(sd, f"{b}.shortcut.2.module")
+            carry_bias = (b1, b2)
+        else:  # non-final Conv_1/Conv_2 biases are live (shortcut bypass)
+            bp["Conv_1"] = _conv(sd, f"{b}.conv.8.module")
+            bp["Conv_2"] = _conv(sd, f"{b}.shortcut.2.module")
         bc["mc_1"] = _code(sd, f"{b}.mc_1")
         bc["mc_2"] = _code(sd, f"{b}.mc_2")
         for alias in (f"{b}.conv.3", f"{b}.conv.7", f"{b}.shortcut.1"):
@@ -335,6 +360,8 @@ def convert_mcgan(state_dict: dict, generator_hidden_size,
         g_p[name], g_s[name], g_c[name] = bp, bs, bc
     g_p["BatchNorm_0"], g_s["BatchNorm_0"] = _bn(
         sd, f"generator.blocks.{Lg - 1}.module")
+    if carry_bias is not None:
+        _fold_into_bn(g_s["BatchNorm_0"], *carry_bias)
     g_c["MultimodalController_0"] = _code(sd, f"generator.blocks.{Lg + 1}")
     g_p["Conv_0"] = _conv(sd, f"generator.blocks.{Lg + 2}.module")
 
@@ -486,18 +513,28 @@ def convert_cgan(state_dict: dict, generator_hidden_size,
     g_p["embedding"] = _dense(sd, "generator.embedding", bias=False)
     g_p["Dense_0"] = _dense_out_perm(sd, "generator.linear",
                                      _hwc_perm(gh[0], start, start))
+    carry_bias = None  # see convert_mcgan: dead conv biases fold into BN
     for i in range(Lg - 1):  # cgan.py GenResBlock: conv.{0,3,4,6}, shortcut.1
         b = f"generator.blocks.{i}"
+        last = i == Lg - 2
         bp, bs = {}, {}
         bp["BatchNorm_0"], bs["BatchNorm_0"] = _bn(sd, f"{b}.conv.0")
-        bp["Conv_0"] = _conv(sd, f"{b}.conv.3")
+        bp["Conv_0"], b0 = _conv_fold_bias(sd, f"{b}.conv.3")
         bp["BatchNorm_1"], bs["BatchNorm_1"] = _bn(sd, f"{b}.conv.4")
-        bp["Conv_1"] = _conv(sd, f"{b}.conv.6")
-        bp["Conv_2"] = _conv(sd, f"{b}.shortcut.1")
+        _fold_into_bn(bs["BatchNorm_1"], b0)
+        if last:  # tail_bias_free (see convert_mcgan)
+            bp["Conv_1"], b1 = _conv_fold_bias(sd, f"{b}.conv.6")
+            bp["Conv_2"], b2 = _conv_fold_bias(sd, f"{b}.shortcut.1")
+            carry_bias = (b1, b2)
+        else:
+            bp["Conv_1"] = _conv(sd, f"{b}.conv.6")
+            bp["Conv_2"] = _conv(sd, f"{b}.shortcut.1")
         name = f"_CGenResBlock_{i}"
         g_p[name], g_s[name] = bp, bs
     g_p["BatchNorm_0"], g_s["BatchNorm_0"] = _bn(
         sd, f"generator.blocks.{Lg - 1}")
+    if carry_bias is not None:
+        _fold_into_bn(g_s["BatchNorm_0"], *carry_bias)
     g_p["Conv_0"] = _conv(sd, f"generator.blocks.{Lg + 1}")
 
     d_p, d_u = {}, {}

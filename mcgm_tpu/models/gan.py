@@ -28,6 +28,18 @@ from ..ops.layers import (
 )
 
 _xconv = dict(kernel_init=xavier_uniform)
+# Functionally-dead generator conv biases run bias-free: Conv_0's output
+# feeds the SAME block's BatchNorm_1 directly (no bypass), and the LAST
+# block's Conv_1/Conv_2 sum feeds the head BatchNorm directly — in both
+# cases a per-channel bias is exactly cancelled by the normalization, so the
+# reference trains a no-op parameter (torch Conv2d default bias). Dropping
+# them removes dead bias-grad reduces from the hot fused step. NOT dead:
+# Conv_1/Conv_2 of non-final blocks (the NEXT block's shortcut taps the raw
+# block input before its BN, so those biases reach the output through
+# conv-mixed paths). Imported torch checkpoints fold the dead biases into
+# the following BN running_mean (io/torch_import.py) — exact in train and
+# eval mode, and the equality is preserved under continued training.
+_xconv_nb = dict(kernel_init=xavier_uniform, use_bias=False)
 
 
 class _MCGenResBlock(nn.Module):
@@ -38,6 +50,7 @@ class _MCGenResBlock(nn.Module):
     num_mode: int
     controller_rate: float
     stride: int = 2
+    tail_bias_free: bool = False  # last block: Conv_1/Conv_2 -> head BN
 
     @nn.compact
     def __call__(self, x, indicator, train: bool):
@@ -51,26 +64,27 @@ class _MCGenResBlock(nn.Module):
         # reference Upsample->mc->Conv pipeline (mcgan.py:14-19).
         if self.stride == 2:
             h = mc_1(h, indicator)
-            h = UpsampledConv(self.output_size, name="Conv_0", **_xconv)(h)
+            h = UpsampledConv(self.output_size, name="Conv_0", **_xconv_nb)(h)
         else:
             if self.stride > 1:
                 h = upsample_nearest(h, self.stride)
             h = mc_1(h, indicator)
-            h = Conv(self.output_size, 3, 1, 1, name="Conv_0", **_xconv)(h)
+            h = Conv(self.output_size, 3, 1, 1, name="Conv_0", **_xconv_nb)(h)
         h = BatchNorm()(h, use_running_average=not train)
         h = nn.relu(h)
         h = mc_2(h, indicator)
-        h = Conv(self.output_size, 3, 1, 1, name="Conv_1", **_xconv)(h)
+        conv1_kw = _xconv_nb if self.tail_bias_free else _xconv
+        h = Conv(self.output_size, 3, 1, 1, name="Conv_1", **conv1_kw)(h)
         if self.stride > 1:
             # 1x1 conv and MC gate both commute with nearest-upsample:
             # compute at LOW res (4x fewer MACs) and fuse the upsample into
             # the residual add (no materialized 4x tensor).
             sc = mc_1(x, indicator)
-            sc = Conv(self.output_size, 1, 1, 0, name="Conv_2", **_xconv)(sc)
+            sc = Conv(self.output_size, 1, 1, 0, name="Conv_2", **conv1_kw)(sc)
             return add_upsampled_nearest(h, sc, self.stride)
         if self.input_size != self.output_size:
             sc = mc_1(x, indicator)
-            sc = Conv(self.output_size, 1, 1, 0, name="Conv_2", **_xconv)(sc)
+            sc = Conv(self.output_size, 1, 1, 0, name="Conv_2", **conv1_kw)(sc)
         else:
             sc = x
         return h + sc
@@ -82,25 +96,27 @@ class _CGenResBlock(nn.Module):
     input_size: int
     output_size: int
     stride: int = 2
+    tail_bias_free: bool = False  # last block: Conv_1/Conv_2 -> head BN
 
     @nn.compact
     def __call__(self, x, train: bool):
         h = BatchNorm()(x, use_running_average=not train)
         h = nn.relu(h)
         if self.stride == 2:
-            h = UpsampledConv(self.output_size, name="Conv_0", **_xconv)(h)
+            h = UpsampledConv(self.output_size, name="Conv_0", **_xconv_nb)(h)
         else:
             if self.stride > 1:
                 h = upsample_nearest(h, self.stride)
-            h = Conv(self.output_size, 3, 1, 1, name="Conv_0", **_xconv)(h)
+            h = Conv(self.output_size, 3, 1, 1, name="Conv_0", **_xconv_nb)(h)
         h = BatchNorm()(h, use_running_average=not train)
         h = nn.relu(h)
-        h = Conv(self.output_size, 3, 1, 1, name="Conv_1", **_xconv)(h)
+        conv1_kw = _xconv_nb if self.tail_bias_free else _xconv
+        h = Conv(self.output_size, 3, 1, 1, name="Conv_1", **conv1_kw)(h)
         if self.stride > 1:
-            sc = Conv(self.output_size, 1, 1, 0, name="Conv_2", **_xconv)(x)
+            sc = Conv(self.output_size, 1, 1, 0, name="Conv_2", **conv1_kw)(x)
             return add_upsampled_nearest(h, sc, self.stride)
         if self.input_size != self.output_size:
-            sc = Conv(self.output_size, 1, 1, 0, name="Conv_2", **_xconv)(x)
+            sc = Conv(self.output_size, 1, 1, 0, name="Conv_2", **conv1_kw)(x)
         else:
             sc = x
         return h + sc
@@ -126,7 +142,9 @@ class MCGenerator(nn.Module):
         x = Dense(hs[0] * start * start, kernel_init=xavier_uniform)(z)
         x = x.reshape(x.shape[0], start, start, hs[0])
         for i in range(len(hs) - 1):
-            x = _MCGenResBlock(hs[i], hs[i + 1], self.num_mode, self.controller_rate, 2)(
+            x = _MCGenResBlock(hs[i], hs[i + 1], self.num_mode,
+                               self.controller_rate, 2,
+                               tail_bias_free=(i == len(hs) - 2))(
                 x, indicator, train
             )
         x = BatchNorm()(x, use_running_average=not train)
@@ -155,7 +173,8 @@ class CGenerator(nn.Module):
         x = Dense(hs[0] * start * start, kernel_init=xavier_uniform)(x)
         x = x.reshape(x.shape[0], start, start, hs[0])
         for i in range(len(hs) - 1):
-            x = _CGenResBlock(hs[i], hs[i + 1], 2)(x, train)
+            x = _CGenResBlock(hs[i], hs[i + 1], 2,
+                              tail_bias_free=(i == len(hs) - 2))(x, train)
         x = BatchNorm()(x, use_running_average=not train)
         x = nn.relu(x)
         x = ConvS2D(self.data_shape[-1], name="Conv_0", **_xconv)(x)
