@@ -169,9 +169,35 @@ class GANTrainState:
     step: Any = field(default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
+def _chain_batch_stats(old_state: dict, stacked_muts: dict, k: int,
+                       momentum: float = 0.9) -> dict:
+    """Reconstruct the sequential BN running-stat chain from k vmapped calls.
+
+    Each vmapped generate saw the SAME ``old`` running stats, producing
+    ``new_i = m*old + (1-m)*mu_i``; the sequential semantics (reference: k
+    generate calls back-to-back) compose to
+    ``s_k = m^k*old + sum_i m^(k-1-i)*(new_i - m*old)`` — algebraically
+    identical, so the fused G pass changes fp rounding only (~1e-7).
+    Only ``batch_stats`` needs the chain: generate mutates nothing else.
+    """
+
+    def chain(old, stacked):
+        s = (momentum ** k) * old
+        for i in range(k):
+            s = s + (momentum ** (k - 1 - i)) * (stacked[i] - momentum * old)
+        return s
+
+    out = dict(old_state)
+    if "batch_stats" in old_state and "batch_stats" in stacked_muts:
+        out["batch_stats"] = jax.tree_util.tree_map(
+            chain, old_state["batch_stats"], stacked_muts["batch_stats"])
+    return out
+
+
 def make_gan_train_step(model, g_opt, d_opt, d_iter: int = 5,
                         loss_type: str = "Hinge", fuse_d_pass: bool = True,
-                        unroll: int = 1, remat: bool = False):
+                        unroll: int = 1, remat: bool = False,
+                        fuse_g_pass: bool = False):
     """Fused GAN step: ``d_iter`` D updates on the same batch (fresh z each,
     matching reference train_gan.py:139-158) then one G update.
 
@@ -220,18 +246,50 @@ def make_gan_train_step(model, g_opt, d_opt, d_iter: int = 5,
         img, label = batch["img"], batch["label"]
         B = img.shape[0]
 
-        def d_substep(carry, _):
+        pre_fakes = None
+        pre_state = None
+        pre_rng = None
+        if fuse_g_pass:
+            # The k D-iters' fake batches depend only on (g_params, state,
+            # z_i) — all constant across the scan — so ONE vmapped G forward
+            # at batch k*B replaces k sequential forwards. vmap keeps BN
+            # batch statistics per B-slice (bit-exact semantics vs the
+            # reference's separate generate calls); the z chain replays the
+            # exact in-scan rng splits; running stats re-chain after.
+            r = ts.rng
+            zs = []
+            for _ in range(d_iter):
+                r, zk = jax.random.split(r)
+                zs.append(jax.random.normal(zk, (B, latent)))
+            pre_rng = r
+
+            def gen_one(z):
+                variables = _merge(ts.g_params, ts.d_params, ts.state)
+                fake, mut = model.apply(
+                    variables, label, z, True, method="generate",
+                    mutable=list(ts.state.keys()),
+                )
+                return jax.lax.stop_gradient(fake), mut
+
+            pre_fakes, muts = jax.vmap(gen_one)(jnp.stack(zs))
+            pre_state = _chain_batch_stats(ts.state, muts, d_iter)
+
+        def d_substep(carry, fake_in):
             d_params, d_opt_state, state, rng = carry
-            rng, zkey = jax.random.split(rng)
-            z = jax.random.normal(zkey, (B, latent))
+            if not fuse_g_pass:
+                rng, zkey = jax.random.split(rng)
+                z = jax.random.normal(zkey, (B, latent))
 
             def d_loss_fn(dp):
-                variables = _merge(ts.g_params, dp, state)
-                fake, mut1 = model.apply(
-                    variables, label, z, True, method="generate",
-                    mutable=list(state.keys()),
-                )
-                fake = jax.lax.stop_gradient(fake)
+                if fuse_g_pass:
+                    fake, mut1 = fake_in, state
+                else:
+                    variables = _merge(ts.g_params, dp, state)
+                    fake, mut1 = model.apply(
+                        variables, label, z, True, method="generate",
+                        mutable=list(state.keys()),
+                    )
+                    fake = jax.lax.stop_gradient(fake)
                 variables = _merge(ts.g_params, dp, mut1)
                 if fuse_d_pass:
                     # match the real batch to the generator's compute dtype:
@@ -264,20 +322,23 @@ def make_gan_train_step(model, g_opt, d_opt, d_iter: int = 5,
             d_params = optax.apply_updates(d_params, updates)
             return (d_params, d_opt_state, new_state, rng), d_loss
 
+        carry0 = (ts.d_params, ts.d_opt_state,
+                  pre_state if fuse_g_pass else ts.state,
+                  pre_rng if fuse_g_pass else ts.rng)
         if unroll >= d_iter:
             # trace-level unroll: avoids grad-through-scan entirely (XLA:CPU
             # compiles that pathologically slowly; TPU production keeps scan)
-            carry = (ts.d_params, ts.d_opt_state, ts.state, ts.rng)
+            carry = carry0
             losses = []
-            for _ in range(d_iter):
-                carry, dl = d_substep(carry, None)
+            for i in range(d_iter):
+                carry, dl = d_substep(
+                    carry, pre_fakes[i] if fuse_g_pass else None)
                 losses.append(dl)
             d_params, d_opt_state, state, rng = carry
             d_losses = jnp.stack(losses)
         else:
             (d_params, d_opt_state, state, rng), d_losses = jax.lax.scan(
-                d_substep, (ts.d_params, ts.d_opt_state, ts.state, ts.rng),
-                None, length=d_iter, unroll=unroll,
+                d_substep, carry0, pre_fakes, length=d_iter, unroll=unroll,
             )
 
         rng, zkey = jax.random.split(rng)

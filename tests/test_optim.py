@@ -182,3 +182,48 @@ def test_remat_matches_plain_gradients():
     for a, b in zip(jax.tree_util.tree_leaves(res[0][2]),
                     jax.tree_util.tree_leaves(res[1][2])):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fused_g_pass_matches_sequential():
+    """fuse_g_pass (one vmapped batch-k*B G forward feeding the D-scan)
+    must reproduce the sequential path exactly: same z chain, same fakes
+    (train-mode BN reads batch stats only), same losses/params; BN running
+    stats re-chained algebraically (fp-identical up to ~1e-6)."""
+    from mcgm_tpu.models.gan import MCGAN
+    from mcgm_tpu.train.state import (GANTrainState, jit_init,
+                                      make_gan_train_step, split_variables)
+
+    K = jax.random.PRNGKey(0)
+    model = MCGAN((32, 32, 3), 8, (8,) * 4, (8,) * 4, 4, 0.5)
+    batch = {"img": jax.random.uniform(K, (8, 32, 32, 3), minval=-1, maxval=1),
+             "label": jnp.arange(8) % 4}
+    v = jit_init(model, {"params": K, "z": K}, batch, train=True)
+    params, state = split_variables(v)
+    cfg = dict(optimizer_name="Adam", lr=2e-4, weight_decay=0)
+    g_opt = make_optimizer(cfg, 2e-4, (0.5, 0.999))
+    d_opt = make_optimizer(cfg, 2e-4, (0.5, 0.999))
+    outs = []
+    for fused in (False, True):
+        ts = GANTrainState(params["generator"], params["discriminator"], state,
+                           g_opt.init(params["generator"]),
+                           d_opt.init(params["discriminator"]),
+                           jax.random.PRNGKey(7))
+        # unroll >= d_iter: CPU-friendly trace-level unroll covers both paths
+        step = jax.jit(make_gan_train_step(model, g_opt, d_opt, d_iter=3,
+                                           unroll=3, fuse_g_pass=fused))
+        ts2, m = step(ts, batch)
+        outs.append((m, ts2))
+    m0, ts_a = outs[0]
+    m1, ts_b = outs[1]
+    assert abs(float(m0["Loss_D"]) - float(m1["Loss_D"])) < 1e-5
+    assert abs(float(m0["Loss_G"]) - float(m1["Loss_G"])) < 1e-5
+    assert np.array_equal(np.asarray(ts_a.rng), np.asarray(ts_b.rng))
+    for name, a, b in [("g", ts_a.g_params, ts_b.g_params),
+                       ("d", ts_a.d_params, ts_b.d_params),
+                       ("state", ts_a.state, ts_b.state)]:
+        for (p, x), (_, y) in zip(
+                jax.tree_util.tree_leaves_with_path(a),
+                jax.tree_util.tree_leaves_with_path(b)):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=2e-5,
+                err_msg=f"{name}{jax.tree_util.keystr(p)}")

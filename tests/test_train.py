@@ -225,3 +225,41 @@ def test_dispatch_groups_handle_ragged_final_batch():
     loader = [mk(16)] * 4 + [mk(8)]
     groups = list(exp._iter_dispatch_groups(loader, None))
     assert [len(g) for g, _ in groups] == [4, 1]
+
+
+def test_gan_eval_fused_matches_host_path(tmp_output):
+    """The fused on-device GAN eval (generate + features + moments in one
+    dispatch per chunk, VERDICT r3 task 3) must produce the same IS/FID as
+    the host path (sync images to host, re-extract features, np.cov)."""
+    import jax.numpy as jnp
+
+    from mcgm_tpu.evals.metrics import (batched_feature_probs,
+                                        frechet_distance, inception_score)
+
+    # classifier trains uncontrolled (reference make.py:51-54): tag
+    # 0_Synthetic_label_classifier_best, which classifier_tag() resolves
+    _run("classifier", tmp_output, control_name="None")
+    exp, logger = _run("mcgan", tmp_output, d_iter=2)
+    is_fused = logger.history["test/InceptionScore"][-1]
+    fid_fused = logger.history["test/FID"][-1]
+    assert np.isfinite(is_fused) and np.isfinite(fid_fused)
+    assert exp._last_eval_seconds > 0
+
+    cfg = exp.cfg
+    C = np.tile(np.arange(cfg["classes_size"]), cfg["generate_per_mode"])
+    variables = exp._model_variables()
+    chunk = cfg["batch_size"]["test"]
+    imgs = []
+    for i in range(0, len(C), chunk):
+        Ci = jnp.asarray(C[i:i + chunk], jnp.int32)
+        zi = exp.fixed_z[i:i + chunk]
+        imgs.append(np.asarray(exp.generate_fn(variables, Ci, zi)))
+    generated = np.concatenate(imgs)
+    feats, probs = batched_feature_probs(exp.feature_fn, generated)
+    is_host = inception_score(probs, 1)
+    mu1, sigma1 = exp.real_stats
+    fid_host = frechet_distance(mu1, sigma1, feats.mean(0).astype(np.float64),
+                                np.cov(feats.astype(np.float64), rowvar=False))
+    assert abs(is_host - is_fused) < 1e-4, (is_host, is_fused)
+    assert abs(fid_host - fid_fused) < max(1e-3 * abs(fid_host), 1e-3), \
+        (fid_host, fid_fused)
