@@ -51,13 +51,15 @@ def build_model(cfg: dict, model_name: str | None = None):
         return MCGlow(shape, p["hidden_size"], p["K"], p["L"], p["affine"],
                       p["conv_lu"], num_mode, rate,
                       scan_flows=p.get("scan_flows", True),
-                      scan_unroll=p.get("scan_unroll", 1))
+                      scan_unroll=p.get("scan_unroll", 1),
+                      remat_flows=p.get("remat_flows", True))
     if name == "cglow":
         p = cfg["glow"]
         return CGlow(shape, p["hidden_size"], p["K"], p["L"], p["affine"],
                      p["conv_lu"], num_mode,
                      scan_flows=p.get("scan_flows", True),
-                     scan_unroll=p.get("scan_unroll", 1))
+                     scan_unroll=p.get("scan_unroll", 1),
+                     remat_flows=p.get("remat_flows", True))
     if name == "mcpixelcnn":
         p = cfg["pixelcnn"]
         return MCPixelCNN(p["num_embedding"], p["hidden_size"], p["num_layer"],

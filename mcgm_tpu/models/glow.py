@@ -331,17 +331,26 @@ class Block(nn.Module):
     scan_flows: bool = False  # scan one flow body over K-stacked params
     scan_unroll: int = 1  # lax.scan unroll factor (TPU: trades code size
     #   for fewer stacked-param dynamic-slice round trips per iteration)
+    remat_flows: bool = True  # rematerialize each flow in the backward pass:
+    #   grad-of-scan otherwise SAVES every flow's coupling activations by
+    #   dynamic-update-slice into [K, ...] stacked buffers — measured at
+    #   ~41% of the full-size train step's device time (round-3 profile);
+    #   recomputing the flow forward is far cheaper than storing it
 
     def setup(self):
         sq = self.input_size * 4
         if self.scan_flows:
+            body_cls = _FlowBody
+            if self.remat_flows:
+                body_cls = nn.remat(_FlowBody, methods=["fwd"],
+                                    prevent_cse=False)
             common = dict(
                 variable_axes={"params": 0, "codebook": 0, "glow_const": 0},
                 split_rngs={"params": True},
                 length=self.K,
                 unroll=self.scan_unroll,
             )
-            Scanned = nn.scan(_FlowBody, methods={
+            Scanned = nn.scan(body_cls, methods={
                 "fwd": dict(common),
                 "ddi_fwd": dict(common),
                 "rev": dict(common, reverse=True),  # flows applied K-1..0
@@ -492,6 +501,7 @@ class MCGlow(_GlowBase):
     controller_rate: float = 0.5
     scan_flows: bool = False
     scan_unroll: int = 1
+    remat_flows: bool = True
 
     def setup(self):
         blocks = []
@@ -500,11 +510,13 @@ class MCGlow(_GlowBase):
             blocks.append(Block(c, self.hidden_size, self.K, True, self.affine,
                                 self.conv_lu, self.num_mode, self.controller_rate,
                                 scan_flows=self.scan_flows, scan_unroll=self.scan_unroll,
+                                remat_flows=self.remat_flows,
                                 name=f"block_{i}"))
             c *= 2
         blocks.append(Block(c, self.hidden_size, self.K, False, self.affine,
                             self.conv_lu, self.num_mode, self.controller_rate,
                             scan_flows=self.scan_flows, scan_unroll=self.scan_unroll,
+                                remat_flows=self.remat_flows,
                             name=f"block_{self.L - 1}"))
         self.blocks = blocks
 
@@ -523,6 +535,7 @@ class CGlow(_GlowBase):
     num_mode: int = 10
     scan_flows: bool = False
     scan_unroll: int = 1
+    remat_flows: bool = True
 
     def setup(self):
         blocks = []
@@ -531,10 +544,12 @@ class CGlow(_GlowBase):
             blocks.append(Block(c, self.hidden_size, self.K, True, self.affine,
                                 self.conv_lu, None, None,
                                 scan_flows=self.scan_flows, scan_unroll=self.scan_unroll,
+                                remat_flows=self.remat_flows,
                                 name=f"block_{i}"))
             c *= 2
         blocks.append(Block(c, self.hidden_size, self.K, False, self.affine,
                             self.conv_lu, None, None, cond_prior=True,
                             scan_flows=self.scan_flows, scan_unroll=self.scan_unroll,
+                                remat_flows=self.remat_flows,
                             name=f"block_{self.L - 1}"))
         self.blocks = blocks

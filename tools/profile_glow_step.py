@@ -53,7 +53,13 @@ def invconv_flop_share(B=128, res=32, hidden=512, K=16, L=3, affine=True):
 
 
 def build_step():
-    print(f"scan_unroll={os.environ.get('GLOW_UNROLL', '1')}")
+    print(f"scan_unroll={os.environ.get('GLOW_UNROLL', '1')} "
+          f"remat_flows={os.environ.get('GLOW_REMAT', '1')} "
+          f"fp32={os.environ.get('MCGM_FP32', '0')}")
+    if os.environ.get("MCGM_FP32", "0") != "1":
+        from mcgm_tpu.ops.layers import set_compute_dtype
+
+        set_compute_dtype(jnp.bfloat16)
     from mcgm_tpu.models import build_model
     from mcgm_tpu.train.optim import make_optimizer
     from mcgm_tpu.train.state import (TrainState, jit_init, make_train_step,
@@ -64,7 +70,8 @@ def build_step():
         "data_name": "CIFAR10", "data_shape": [32, 32, 3],
         "glow": {"hidden_size": 512, "K": 16, "L": 3, "affine": True,
                  "conv_lu": True, "scan_flows": True,
-                 "scan_unroll": int(os.environ.get("GLOW_UNROLL", "1"))},
+                 "scan_unroll": int(os.environ.get("GLOW_UNROLL", "1")),
+                 "remat_flows": os.environ.get("GLOW_REMAT", "1") == "1"},
     }
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
