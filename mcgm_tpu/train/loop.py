@@ -735,6 +735,13 @@ class Experiment:
         if mode == 1:
             self._load_opt_sched(ckpt)
             self.logger = ckpt["logger"]
+            # the checkpoint pickles the logger BEFORE the epoch-end reset
+            # (reference train_vae.py:83-94 has the same ordering), so the
+            # restored running means still hold the checkpoint epoch's
+            # values; without this reset the first resumed epoch's logged
+            # metrics are a blend of old and new (found by the round-3
+            # crash/resume equality run — history kept, means cleared)
+            self.logger.reset()
             key = f"test/{cfg['pivot_metric']}"
             hist = self.logger.history.get(key, [])
             if hist:

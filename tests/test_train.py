@@ -70,6 +70,19 @@ def test_resume_mode_1_continues(tmp_output):
     exp2.run()
     # epochs 3 and 4 appended to the restored history
     assert len(exp2.logger.history["train/Loss"]) == hist1 + 2
+    # resumed metrics must NOT blend with the checkpoint epoch's stale
+    # running means (the checkpoint pickles the logger pre-reset; round-3
+    # crash/resume equality run caught the first resumed epoch averaging
+    # itself with the checkpointed epoch): an uninterrupted 4-epoch run
+    # logs the same per-epoch values
+    cfg3 = make_tiny_cfg("mcvae", tmp_dir=tmp_output + "/uninterrupted",
+                         num_epochs=4)
+    exp3 = Experiment(cfg3)
+    exp3.run()
+    for k in ("train/Loss", "test/Loss"):
+        a = [round(v, 5) for v in exp3.logger.history[k]]
+        b = [round(v, 5) for v in exp2.logger.history[k]]
+        assert a == b, (k, a, b)
 
 
 def test_resume_mode_2_warm_start(tmp_output):
