@@ -52,14 +52,16 @@ def build_model(cfg: dict, model_name: str | None = None):
                       p["conv_lu"], num_mode, rate,
                       scan_flows=p.get("scan_flows", True),
                       scan_unroll=p.get("scan_unroll", 1),
-                      remat_flows=p.get("remat_flows", True))
+                      remat_flows=p.get("remat_flows", True),
+                      scan_chunk=p.get("scan_chunk", 1))
     if name == "cglow":
         p = cfg["glow"]
         return CGlow(shape, p["hidden_size"], p["K"], p["L"], p["affine"],
                      p["conv_lu"], num_mode,
                      scan_flows=p.get("scan_flows", True),
                      scan_unroll=p.get("scan_unroll", 1),
-                     remat_flows=p.get("remat_flows", True))
+                     remat_flows=p.get("remat_flows", True),
+                     scan_chunk=p.get("scan_chunk", 1))
     if name == "mcpixelcnn":
         p = cfg["pixelcnn"]
         return MCPixelCNN(p["num_embedding"], p["hidden_size"], p["num_layer"],

@@ -316,6 +316,95 @@ class _FlowBody(nn.Module):
         return (self.flow.reverse(y, indicator), indicator), None
 
 
+class _FlowChunkBody(nn.Module):
+    """``chunk`` consecutive flows as ONE scan body.
+
+    The scan length drops K -> K/chunk at TRACE level, so grad-of-scan
+    saves the carry and stacks parameter cotangents chunk-x less often —
+    unlike ``scan_unroll``, which only changes the emitted while-loop (scan
+    AD still stacks residuals per original step; measured neutral). With
+    ``remat_flows`` the whole chunk is rematerialized, so the inter-flow
+    carries inside a chunk are recomputed, not saved: total recompute FLOPs
+    equal the per-flow remat, but the DUS residual traffic shrinks chunk-x.
+    """
+
+    input_size: int
+    hidden_size: int
+    affine: bool
+    conv_lu: bool
+    num_mode: int | None
+    controller_rate: float | None
+    chunk: int = 4
+
+    def setup(self):
+        self.flows = [
+            Flow(self.input_size, self.hidden_size, self.affine,
+                 self.conv_lu, self.num_mode, self.controller_rate,
+                 name=f"flow_{j}")
+            for j in range(self.chunk)
+        ]
+
+    def fwd(self, carry, _):
+        x, logdet, indicator = carry
+        for f in self.flows:
+            x, det = f(x, indicator)
+            logdet = logdet + det
+        return (x, logdet, indicator), None
+
+    def ddi_fwd(self, carry, _):
+        x, logdet, indicator = carry
+        for f in self.flows:
+            x, det = f(x, indicator, ddi=True)
+            logdet = logdet + det
+        return (x, logdet, indicator), None
+
+    def rev(self, carry, _):
+        y, indicator = carry
+        for f in self.flows[::-1]:
+            y = f.reverse(y, indicator)
+        return (y, indicator), None
+
+
+def rechunk_glow_flows(variables, to_chunk, from_chunk=1):
+    """Repack scanned-flow leaves between ``scan_chunk`` layouts.
+
+    chunk=1 stacks each flow leaf as ``flows/flow/...: [K, ...]``;
+    chunk=c>1 stores ``flows/flow_j/...: [K/c, ...]`` where scan step i's
+    body applies global flows ``i*c+j`` for j=0..c-1 — so leaf rows map by
+    ``chunked_j[i] = flat[i*c + j]`` (i.e. ``flat[j::c]``). Applies to every
+    collection that rides the scan (params / codebook / glow_const)."""
+    import flax
+
+    def to_flat(node):
+        if isinstance(node, dict) and "flows" in node:
+            fl = node["flows"]
+            if from_chunk == 1 and "flow" in fl:
+                flat = fl["flow"]
+            else:
+                subs = [fl[f"flow_{j}"] for j in range(from_chunk)]
+                # interleave: flat[i*c+j] = sub_j[i]
+                def merge(*leaves):
+                    k = leaves[0].shape[0] * from_chunk
+                    out = jnp.stack(leaves, axis=1)  # [K/c, c, ...]
+                    return out.reshape((k,) + leaves[0].shape[1:])
+                flat = jax.tree_util.tree_map(merge, *subs)
+            node = dict(node)
+            if to_chunk == 1:
+                node["flows"] = {"flow": flat}
+            else:
+                node["flows"] = {
+                    f"flow_{j}": jax.tree_util.tree_map(
+                        lambda l, j=j: l[j::to_chunk], flat)
+                    for j in range(to_chunk)
+                }
+            return node
+        if isinstance(node, dict):
+            return {k: to_flat(v) for k, v in node.items()}
+        return node
+
+    return to_flat(flax.core.unfreeze(variables))
+
+
 class Block(nn.Module):
     """Squeeze + K flows + split prior (reference mcglow.py:204-265)."""
 
@@ -336,18 +425,29 @@ class Block(nn.Module):
     #   dynamic-update-slice into [K, ...] stacked buffers — measured at
     #   ~41% of the full-size train step's device time (round-3 profile);
     #   recomputing the flow forward is far cheaper than storing it
+    scan_chunk: int = 1  # flows per scan body: K/chunk scan steps, so the
+    #   carry-save/param-grad DUS traffic shrinks chunk-x at trace level
+    #   (what scan_unroll cannot do — see _FlowChunkBody)
 
     def setup(self):
         sq = self.input_size * 4
         if self.scan_flows:
-            body_cls = _FlowBody
+            if self.scan_chunk > 1:
+                if self.K % self.scan_chunk:
+                    raise ValueError(
+                        f"scan_chunk={self.scan_chunk} must divide K={self.K}")
+                body_cls, length = _FlowChunkBody, self.K // self.scan_chunk
+                extra = (self.scan_chunk,)
+            else:
+                body_cls, length = _FlowBody, self.K
+                extra = ()
             if self.remat_flows:
-                body_cls = nn.remat(_FlowBody, methods=["fwd"],
+                body_cls = nn.remat(body_cls, methods=["fwd"],
                                     prevent_cse=False)
             common = dict(
                 variable_axes={"params": 0, "codebook": 0, "glow_const": 0},
                 split_rngs={"params": True},
-                length=self.K,
+                length=length,
                 unroll=self.scan_unroll,
             )
             Scanned = nn.scan(body_cls, methods={
@@ -357,7 +457,8 @@ class Block(nn.Module):
             })
             self.flow_stack = Scanned(sq, self.hidden_size, self.affine,
                                       self.conv_lu, self.num_mode,
-                                      self.controller_rate, name="flows")
+                                      self.controller_rate, *extra,
+                                      name="flows")
         else:
             self.flows = [
                 Flow(sq, self.hidden_size, self.affine, self.conv_lu,
@@ -502,6 +603,7 @@ class MCGlow(_GlowBase):
     scan_flows: bool = False
     scan_unroll: int = 1
     remat_flows: bool = True
+    scan_chunk: int = 1
 
     def setup(self):
         blocks = []
@@ -511,12 +613,14 @@ class MCGlow(_GlowBase):
                                 self.conv_lu, self.num_mode, self.controller_rate,
                                 scan_flows=self.scan_flows, scan_unroll=self.scan_unroll,
                                 remat_flows=self.remat_flows,
+                                scan_chunk=self.scan_chunk,
                                 name=f"block_{i}"))
             c *= 2
         blocks.append(Block(c, self.hidden_size, self.K, False, self.affine,
                             self.conv_lu, self.num_mode, self.controller_rate,
                             scan_flows=self.scan_flows, scan_unroll=self.scan_unroll,
                                 remat_flows=self.remat_flows,
+                                scan_chunk=self.scan_chunk,
                             name=f"block_{self.L - 1}"))
         self.blocks = blocks
 
@@ -536,6 +640,7 @@ class CGlow(_GlowBase):
     scan_flows: bool = False
     scan_unroll: int = 1
     remat_flows: bool = True
+    scan_chunk: int = 1
 
     def setup(self):
         blocks = []
@@ -545,11 +650,13 @@ class CGlow(_GlowBase):
                                 self.conv_lu, None, None,
                                 scan_flows=self.scan_flows, scan_unroll=self.scan_unroll,
                                 remat_flows=self.remat_flows,
+                                scan_chunk=self.scan_chunk,
                                 name=f"block_{i}"))
             c *= 2
         blocks.append(Block(c, self.hidden_size, self.K, False, self.affine,
                             self.conv_lu, None, None, cond_prior=True,
                             scan_flows=self.scan_flows, scan_unroll=self.scan_unroll,
                                 remat_flows=self.remat_flows,
+                                scan_chunk=self.scan_chunk,
                             name=f"block_{self.L - 1}"))
         self.blocks = blocks

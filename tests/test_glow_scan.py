@@ -116,3 +116,47 @@ def test_scan_vs_unrolled_same_loss_with_copied_params(scan_model):
     l_unroll = m_unroll.apply(v_copied, {"img": img, "label": lbl},
                               train=False, rngs=rngs)["loss"]
     assert abs(float(l_scan) - float(l_unroll)) < 1e-4
+
+
+def test_scan_chunk_matches_chunk1():
+    """scan_chunk=2 (two flows per scan body, K/2 steps) must be the same
+    math as scan_chunk=1 once the stacked leaves are repacked."""
+    from mcgm_tpu.models.glow import rechunk_glow_flows
+
+    m1 = MCGlow((16, 16, 3), hidden_size=16, K=4, L=2, num_mode=6,
+                controller_rate=0.5, scan_flows=True, scan_chunk=1)
+    img = jax.random.uniform(K, (2, 16, 16, 3), minval=-1, maxval=1)
+    lbl = jnp.array([1, 5])
+    batch = {"img": img, "label": lbl}
+    v1 = m1.init({"params": K, "noise": K}, batch, train=True)
+
+    m2 = MCGlow((16, 16, 3), hidden_size=16, K=4, L=2, num_mode=6,
+                controller_rate=0.5, scan_flows=True, scan_chunk=2)
+    v2 = rechunk_glow_flows(v1, to_chunk=2)
+    # structure matches a natively-initialized chunk=2 model
+    v2_native = m2.init({"params": K, "noise": K}, batch, train=True)
+    assert (jax.tree_util.tree_structure(v2["params"])
+            == jax.tree_util.tree_structure(v2_native["params"]))
+
+    rngs = {"noise": jax.random.PRNGKey(7)}
+    o1 = m1.apply(v1, batch, train=False, rngs=rngs)
+    o2 = m2.apply(v2, batch, train=False, rngs=rngs)
+    assert abs(float(o1["loss"]) - float(o2["loss"])) < 1e-5
+    g1 = m1.apply(v1, lbl, method="generate", rngs={"z": K})
+    g2 = m2.apply(v2, lbl, method="generate", rngs={"z": K})
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)
+    # gradients agree too (the chunk body is remat'd in backward)
+    def loss1(p):
+        return m1.apply({**v1, "params": p}, batch, train=True, rngs=rngs)["loss"]
+
+    def loss2(p):
+        return m2.apply({**v2, "params": p}, batch, train=True, rngs=rngs)["loss"]
+
+    g1 = jax.grad(loss1)(v1["params"])
+    g2 = jax.grad(loss2)(v2["params"])
+    g2_flat = rechunk_glow_flows(g2, to_chunk=1, from_chunk=2)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-4, atol=2e-5),
+        g1, g2_flat)

@@ -55,6 +55,7 @@ def invconv_flop_share(B=128, res=32, hidden=512, K=16, L=3, affine=True):
 def build_step():
     print(f"scan_unroll={os.environ.get('GLOW_UNROLL', '1')} "
           f"remat_flows={os.environ.get('GLOW_REMAT', '1')} "
+          f"scan_chunk={os.environ.get('GLOW_CHUNK', '1')} "
           f"fp32={os.environ.get('MCGM_FP32', '0')}")
     if os.environ.get("MCGM_FP32", "0") != "1":
         from mcgm_tpu.ops.layers import set_compute_dtype
@@ -71,7 +72,8 @@ def build_step():
         "glow": {"hidden_size": 512, "K": 16, "L": 3, "affine": True,
                  "conv_lu": True, "scan_flows": True,
                  "scan_unroll": int(os.environ.get("GLOW_UNROLL", "1")),
-                 "remat_flows": os.environ.get("GLOW_REMAT", "1") == "1"},
+                 "remat_flows": os.environ.get("GLOW_REMAT", "1") == "1",
+                 "scan_chunk": int(os.environ.get("GLOW_CHUNK", "1"))},
     }
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
