@@ -233,3 +233,32 @@ def test_vqvae_dp_training_matches_single_device(mesh, tmp_path):
             np.testing.assert_allclose(
                 np.asarray(x), np.asarray(y), atol=2e-3, rtol=5e-3,
                 err_msg=f"{name}{jax.tree_util.keystr(p)}")
+
+
+def test_glow_dp_training_matches_single_device(mesh, tmp_path):
+    """Glow is the other stateful sharp case: data-dependent ActNorm init
+    (_run_ddi gathers the first n train batches — sharded under the mesh —
+    and standardizes on GLOBAL stats), untrained glow_const, and NaN-masked
+    losses. 2 Experiment epochs on DP8 vs single device from one seed must
+    land in the same final state."""
+    from mcgm_tpu.train.loop import Experiment
+
+    def run(mesh_arg, sub):
+        cfg = make_tiny_cfg("mcglow", tmp_dir=str(tmp_path / sub))
+        cfg["num_epochs"] = 2
+        exp = Experiment(cfg, mesh=mesh_arg)
+        exp.run()
+        return exp
+
+    single = run(None, "single")
+    dp = run(mesh, "dp8")
+    for name, a, b in [("params", single.ts.params, dp.ts.params),
+                       ("state", single.ts.state, dp.ts.state)]:
+        la = jax.tree_util.tree_leaves_with_path(a)
+        lb = jax.tree_util.tree_leaves_with_path(b)
+        assert [jax.tree_util.keystr(p) for p, _ in la] == \
+               [jax.tree_util.keystr(p) for p, _ in lb]
+        for (p, x), (_, y) in zip(la, lb):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=2e-3, rtol=5e-3,
+                err_msg=f"{name}{jax.tree_util.keystr(p)}")
