@@ -83,7 +83,16 @@ def extract_file(path: str, dest: str | None = None) -> None:
             z.extractall(dest, members=list(_safe_zip_members(z, dest)))
     elif tarfile.is_tarfile(path):
         with tarfile.open(path) as t:
-            t.extractall(dest, filter="data")  # Py3.12 traversal-safe filter
+            try:
+                t.extractall(dest, filter="data")  # traversal-safe filter
+            except TypeError:  # Python < 3.9.17/3.10.12/3.11.4: no filter kwarg
+                base = os.path.realpath(dest)
+                members = [
+                    m for m in t.getmembers()
+                    if os.path.realpath(os.path.join(dest, m.name))
+                    .startswith(base + os.sep) and not (m.issym() or m.islnk())
+                ]
+                t.extractall(dest, members=members)
     elif path.endswith(".gz"):
         out = os.path.join(dest, os.path.basename(path)[:-3])
         with gzip.open(path, "rb") as f, open(out, "wb") as g:

@@ -105,6 +105,12 @@ def bn_scale_init(key, shape, dtype=jnp.float32):
     return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
 
 
+# flax momentum convention: new = m*old + (1-m)*batch — 0.9 here equals the
+# torch default momentum=0.1. train.state._chain_batch_stats reconstructs the
+# sequential running-stat chain from this SAME constant; keep them in sync.
+BN_MOMENTUM = 0.9
+
+
 class BatchNorm(nn.Module):
     """BatchNorm matching torch defaults (momentum 0.1, eps 1e-5) + ref init."""
 
@@ -117,7 +123,7 @@ class BatchNorm(nn.Module):
         )
         return nn.BatchNorm(
             use_running_average=ura,
-            momentum=0.9,
+            momentum=BN_MOMENTUM,
             epsilon=1e-5,
             scale_init=bn_scale_init,
             name="bn",

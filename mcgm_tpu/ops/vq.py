@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from .layers import weighted_mean
+
 
 class VectorQuantizerEMA(nn.Module):
     embedding_size: int  # D
@@ -78,11 +80,10 @@ class VectorQuantizerEMA(nn.Module):
 
         x32 = x.astype(jnp.float32)
         sq = (jax.lax.stop_gradient(quantize) - x32) ** 2
-        if wf is None:
-            diff = jnp.mean(sq)
-        else:
-            per_pos = sq.reshape(-1, D).mean(axis=1)
-            diff = jnp.sum(per_pos * wf) / jnp.maximum(jnp.sum(wf), 1.0)
+        # wf is w broadcast uniformly within each sample, so the per-position
+        # weighted mean equals the per-sample weighted_mean shared by every
+        # other masked loss (only the EMA counts above need per-position wf)
+        diff = weighted_mean(sq, w)
         quantize = x32 + jax.lax.stop_gradient(quantize - x32)
         return quantize.astype(x.dtype), diff, code
 

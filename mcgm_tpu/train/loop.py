@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from ..config import make_model_tag, process_control
 from ..data import fetch_dataset, make_data_loader, process_dataset
 from ..evals.features import extract_real_features, make_feature_fn
-from ..evals.metrics import Metric, make_device_metrics
+from ..evals.metrics import make_device_metrics
 from ..io.checkpoint import AsyncCheckpointer, load_checkpoint
 from ..models import build_model
 from ..report.logger import Logger
@@ -154,7 +154,6 @@ class Experiment:
         self.model = build_model(cfg)
         self.rng, init_key = jax.random.split(self.rng)
         self._build_family(init_key)
-        self.metric = Metric(cfg)
         self.train_metrics = make_device_metrics(
             [m for m in cfg["metric_name"]["train"]]
         )
@@ -604,35 +603,50 @@ class Experiment:
         the SAME program; only class probs [total, K] and the O(d²) moments
         leave the device (the round-2 path synced a full image tensor to
         host per 512-image chunk and re-uploaded it for features — ~250 MB
-        over the tunnel per epoch; VERDICT r2 weak #3)."""
+        over the tunnel per epoch; VERDICT r2 weak #3).
+
+        Moments accumulate CENTERED on the real-side feature mean: raw
+        second moments in f32 cancel catastrophically at high feature dim
+        (E[f²] − µ² loses the variance bits when |µ| >> σ, e.g. inception's
+        d=2048 post-ReLU features); (f−c) with c ≈ µ keeps every
+        accumulation at O(σ) magnitude, so f32 is exact to working
+        precision. sigma = Σg·gᵀ/(n−1) − n/(n−1)·(ḡ)(ḡ)ᵀ with g = f−c.
+        """
         total = len(C)
-        if getattr(self, "_gan_chunk_fn", None) is None:
+        if getattr(self, "_gan_chunk_key", None) is not feature_fn:
             model = self.model
 
             @partial(jax.jit, donate_argnums=(0, 1))
-            def add_chunk(fsum, fouter, variables, Ci, zi):
+            def add_chunk(fsum, fouter, variables, Ci, zi, center):
                 img = model.apply(variables, Ci, zi, False, method="generate")
                 feats, probs = feature_fn(img)
-                f = feats.astype(jnp.float32)
-                return fsum + f.sum(0), fouter + f.T @ f, probs
+                g = feats.astype(jnp.float32) - center
+                return fsum + g.sum(0), fouter + g.T @ g, probs
 
             probe_f, _ = feature_fn(jnp.zeros((1, *self.cfg["data_shape"]),
                                               jnp.float32))
             self._gan_chunk_fn = add_chunk
+            self._gan_chunk_key = feature_fn  # held ref: id() could be reused
             self._feat_dim = int(probe_f.shape[-1])
         d = self._feat_dim
-        fsum = jnp.zeros((d,), jnp.float32)
-        fouter = jnp.zeros((d, d), jnp.float32)
+        real_stats = getattr(self, "real_stats", None)
+        center_np = (real_stats[0] if real_stats is not None
+                     else np.zeros((d,))).astype(np.float32)
+        center = jnp.asarray(center_np)
+        gsum = jnp.zeros((d,), jnp.float32)
+        gouter = jnp.zeros((d, d), jnp.float32)
         probs_parts = []
         for i in range(0, total, chunk):
             Ci = jnp.asarray(C[i:i + chunk], jnp.int32)
             zi = self.fixed_z[i:i + chunk]
-            fsum, fouter, probs = self._gan_chunk_fn(fsum, fouter, variables,
-                                                     Ci, zi)
+            gsum, gouter, probs = self._gan_chunk_fn(gsum, gouter, variables,
+                                                     Ci, zi, center)
             probs_parts.append(probs)
         probs = np.asarray(jnp.concatenate(probs_parts))
-        mu = np.asarray(fsum) / total
-        sigma = (np.asarray(fouter) - total * np.outer(mu, mu)) / (total - 1)
+        gbar = np.asarray(gsum, np.float64) / total
+        mu = center_np.astype(np.float64) + gbar
+        sigma = (np.asarray(gouter, np.float64)
+                 - total * np.outer(gbar, gbar)) / (total - 1)
         return probs, mu, sigma
 
     def _test_gan(self, epoch: int):
@@ -670,7 +684,10 @@ class Experiment:
                                                       feature_fn)
             evaluation = {}
             if "InceptionScore" in names:
-                evaluation["InceptionScore"] = inception_score(probs, 1)
+                # in-loop default 1 split (reference train_gan.py in-loop IS);
+                # cfg['is_splits'] overrides, same as the standalone CLI
+                evaluation["InceptionScore"] = inception_score(
+                    probs, int(cfg.get("is_splits", 1)))
             if "FID" in names:
                 mu1, sigma1 = self.real_stats
                 evaluation["FID"] = frechet_distance(mu1, sigma1, mu, sigma)
@@ -752,7 +769,37 @@ class Experiment:
         self.logger = fresh_logger
         return 1, pivot
 
+    def _match_glow_scan_layout(self, variables):
+        """Repack scanned-flow leaves if the checkpoint's ``scan_chunk``
+        layout differs from the configured one (a chunk=1 run stores
+        ``flows/flow/[K,...]``; chunk=c stores ``flows/flow_j/[K/c,...]``) —
+        resume must not require matching the flag the run was trained with."""
+        glow_cfg = self.cfg.get("glow", {})
+        if not glow_cfg.get("scan_flows", True):
+            return variables
+        want = int(glow_cfg.get("scan_chunk", 1))
+
+        def find(node):
+            if isinstance(node, dict):
+                if "flows" in node:
+                    keys = node["flows"].keys()
+                    return 1 if "flow" in keys else len(keys)
+                for v in node.values():
+                    got = find(v)
+                    if got is not None:
+                        return got
+            return None
+
+        have = find(variables)
+        if have is None or have == want:
+            return variables
+        from ..models.glow import rechunk_glow_flows
+
+        return rechunk_glow_flows(variables, to_chunk=want, from_chunk=have)
+
     def _load_model_variables(self, variables):
+        if self.family == "glow":
+            variables = self._match_glow_scan_layout(variables)
         params, state = split_variables(jax.tree_util.tree_map(jnp.asarray, variables))
         if self.family == "gan":
             self.ts = replace(self.ts, g_params=params["generator"],

@@ -170,7 +170,7 @@ class GANTrainState:
 
 
 def _chain_batch_stats(old_state: dict, stacked_muts: dict, k: int,
-                       momentum: float = 0.9) -> dict:
+                       momentum: float | None = None) -> dict:
     """Reconstruct the sequential BN running-stat chain from k vmapped calls.
 
     Each vmapped generate saw the SAME ``old`` running stats, producing
@@ -180,6 +180,10 @@ def _chain_batch_stats(old_state: dict, stacked_muts: dict, k: int,
     identical, so the fused G pass changes fp rounding only (~1e-7).
     Only ``batch_stats`` needs the chain: generate mutates nothing else.
     """
+    if momentum is None:
+        from ..ops.layers import BN_MOMENTUM  # single source of truth
+
+        momentum = BN_MOMENTUM
 
     def chain(old, stacked):
         s = (momentum ** k) * old

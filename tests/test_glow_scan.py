@@ -160,3 +160,39 @@ def test_scan_chunk_matches_chunk1():
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=2e-4, atol=2e-5),
         g1, g2_flat)
+
+
+def test_checkpoint_scan_chunk_layout_migration():
+    """Resuming a glow run with a DIFFERENT scan_chunk than it was trained
+    with must repack the scanned leaves transparently (the load path calls
+    _match_glow_scan_layout; a layout mismatch otherwise crashes resume)."""
+    from types import SimpleNamespace
+
+    from mcgm_tpu.train.loop import Experiment
+
+    m1 = MCGlow((16, 16, 3), hidden_size=16, K=4, L=2, num_mode=6,
+                controller_rate=0.5, scan_flows=True, scan_chunk=1)
+    img = jax.random.uniform(K, (2, 16, 16, 3), minval=-1, maxval=1)
+    lbl = jnp.array([2, 3])
+    batch = {"img": img, "label": lbl}
+    v1 = m1.init({"params": K, "noise": K}, batch, train=True)
+
+    def match(chunk, variables):
+        stub = SimpleNamespace(cfg={"glow": {"scan_flows": True,
+                                             "scan_chunk": chunk}})
+        return Experiment._match_glow_scan_layout(stub, variables)
+
+    # chunk=1 checkpoint loaded into a chunk=2 config: repacked, same math
+    v2 = match(2, v1)
+    m2 = MCGlow((16, 16, 3), hidden_size=16, K=4, L=2, num_mode=6,
+                controller_rate=0.5, scan_flows=True, scan_chunk=2)
+    rngs = {"noise": jax.random.PRNGKey(11)}
+    l1 = m1.apply(v1, batch, train=False, rngs=rngs)["loss"]
+    l2 = m2.apply(v2, batch, train=False, rngs=rngs)["loss"]
+    assert abs(float(l1) - float(l2)) < 1e-5
+    # and back: chunk=2 checkpoint into a chunk=1 config
+    v1b = match(1, v2)
+    l1b = m1.apply(v1b, batch, train=False, rngs=rngs)["loss"]
+    assert abs(float(l1) - float(l1b)) < 1e-6
+    # matching layouts are returned untouched (no repack, same object)
+    assert match(1, v1) is v1

@@ -276,3 +276,10 @@ def test_gan_eval_fused_matches_host_path(tmp_output):
     assert abs(is_host - is_fused) < 1e-4, (is_host, is_fused)
     assert abs(fid_host - fid_fused) < max(1e-3 * abs(fid_host), 1e-3), \
         (fid_host, fid_fused)
+
+    # cfg['is_splits'] must flow into the in-loop fused eval (same seed →
+    # identical training → identical probs; only the split count changes)
+    _, logger2 = _run("mcgan", tmp_output, d_iter=2, is_splits=2)
+    is_fused_s2 = logger2.history["test/InceptionScore"][-1]
+    assert abs(is_fused_s2 - inception_score(probs, 2)) < 1e-4, \
+        (is_fused_s2, inception_score(probs, 2))
