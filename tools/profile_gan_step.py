@@ -29,18 +29,27 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/mcgm_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def build_step():
+def build_step(px128: bool = False):
     from mcgm_tpu.models.gan import MCGAN
     from mcgm_tpu.train.optim import make_optimizer
     from mcgm_tpu.train.state import (GANTrainState, jit_init,
                                       make_gan_train_step, split_variables)
 
-    model = MCGAN((32, 32, 3), 128, (256,) * 4, (128,) * 4, num_mode=10,
-                  controller_rate=0.5, cifar_style=True)
+    if px128:
+        # the reference's high-res protocol (config.py:134-137: 5-stage G/D,
+        # batch 32, 20 modes — CelebA-HQ/ImageNet)
+        model = MCGAN((128, 128, 3), 128, (1024, 512, 256, 128, 64),
+                      (64, 128, 256, 512, 1024), num_mode=20,
+                      controller_rate=0.5, cifar_style=False)
+        bs, res, modes = 32, 128, 20
+    else:
+        model = MCGAN((32, 32, 3), 128, (256,) * 4, (128,) * 4, num_mode=10,
+                      controller_rate=0.5, cifar_style=True)
+        bs, res, modes = 128, 32, 10
     rng = jax.random.PRNGKey(0)
     batch = {
-        "img": jax.random.uniform(rng, (128, 32, 32, 3), minval=-1, maxval=1),
-        "label": jnp.arange(128, dtype=jnp.int32) % 10,
+        "img": jax.random.uniform(rng, (bs, res, res, 3), minval=-1, maxval=1),
+        "label": jnp.arange(bs, dtype=jnp.int32) % modes,
     }
     init_batch = {"img": batch["img"][:2], "label": batch["label"][:2]}
     variables = jit_init(model, {"params": rng, "z": rng}, init_batch, train=True)
@@ -106,6 +115,8 @@ def summarize_trace(outdir: str, top: int = 40):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--px128", action="store_true",
+                    help="profile the 128px CelebA-HQ/ImageNet protocol step")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--outdir", default="/tmp/mcgm_trace")
     ap.add_argument("--summarize-only", action="store_true")
@@ -120,10 +131,19 @@ def main():
         from mcgm_tpu.ops.layers import set_compute_dtype
 
         set_compute_dtype(jnp.bfloat16)
-    step, ts, batch = build_step()
+    step, ts, batch = build_step(px128=args.px128)
     for _ in range(3):
         ts, m = step(ts, batch)
     jax.block_until_ready(m)
+    import time
+
+    bs = batch["label"].shape[0]
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        ts, m = step(ts, batch)
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / args.steps
+    print(f"gan train step: {dt*1e3:.1f} ms, {bs/dt:.0f} img/s")
     with jax.profiler.trace(args.outdir):
         for _ in range(args.steps):
             ts, m = step(ts, batch)
