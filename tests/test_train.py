@@ -283,3 +283,39 @@ def test_gan_eval_fused_matches_host_path(tmp_output):
     is_fused_s2 = logger2.history["test/InceptionScore"][-1]
     assert abs(is_fused_s2 - inception_score(probs, 2)) < 1e-4, \
         (is_fused_s2, inception_score(probs, 2))
+
+
+def test_glow_resume_mode_1_exact(tmp_output):
+    """Glow resume must NOT re-run ActNorm data-dependent init (the
+    checkpointed params already carry it; _load_model_variables clears
+    _ddi_pending) and must land exactly where an uninterrupted run does —
+    params AND per-epoch metrics."""
+    import jax
+
+    cfg = make_tiny_cfg("mcglow", tmp_dir=tmp_output, num_epochs=2)
+    Experiment(cfg).run()
+    cfg2 = make_tiny_cfg("mcglow", tmp_dir=tmp_output, num_epochs=4,
+                         resume_mode=1)
+    exp2 = Experiment(cfg2)
+    exp2.run()
+    cfg3 = make_tiny_cfg("mcglow", tmp_dir=tmp_output + "/uninterrupted",
+                         num_epochs=4)
+    exp3 = Experiment(cfg3)
+    exp3.run()
+    # train history exact: the train rng rides the checkpointed TrainState
+    a = [round(v, 5) for v in exp3.logger.history["train/Loss"]]
+    b = [round(v, 5) for v in exp2.logger.history["train/Loss"]]
+    assert a == b, (a, b)
+    # eval draws dequantization noise from the HOST rng stream, which is not
+    # checkpointed (the reference saves no RNG state either) — noise-level
+    # tolerance, not bit equality
+    for x, y in zip(exp3.logger.history["test/Loss"],
+                    exp2.logger.history["test/Loss"]):
+        assert abs(x - y) < 1e-3, (x, y)
+    # final params exactly equal — DDI must NOT re-run on resume
+    for (p, x), (_, y) in zip(
+            jax.tree_util.tree_leaves_with_path(exp3.ts.params),
+            jax.tree_util.tree_leaves_with_path(exp2.ts.params)):
+        np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y),
+            err_msg=jax.tree_util.keystr(p))
