@@ -29,7 +29,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/mcgm_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def build_step(px128: bool = False):
+def build_step(px128: bool = False, remat: bool = False):
     from mcgm_tpu.models.gan import MCGAN
     from mcgm_tpu.train.optim import make_optimizer
     from mcgm_tpu.train.state import (GANTrainState, jit_init,
@@ -65,7 +65,8 @@ def build_step(px128: bool = False):
         d_opt_state=d_opt.init(params["discriminator"]),
         rng=jax.random.PRNGKey(1),
     )
-    step = jax.jit(make_gan_train_step(model, g_opt, d_opt, d_iter=5))
+    step = jax.jit(make_gan_train_step(model, g_opt, d_opt, d_iter=5,
+                                       remat=remat))
     return step, ts, batch
 
 
@@ -120,6 +121,13 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--outdir", default="/tmp/mcgm_trace")
     ap.add_argument("--summarize-only", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize loss forwards in backprop "
+                         "(jax.checkpoint) — trades recompute FLOPs for "
+                         "residual HBM traffic; relevant at 128px where "
+                         "the step is bandwidth-bound")
+    ap.add_argument("--no-trace", action="store_true",
+                    help="wall-time only, skip the profiler trace")
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
 
@@ -131,7 +139,7 @@ def main():
         from mcgm_tpu.ops.layers import set_compute_dtype
 
         set_compute_dtype(jnp.bfloat16)
-    step, ts, batch = build_step(px128=args.px128)
+    step, ts, batch = build_step(px128=args.px128, remat=args.remat)
     for _ in range(3):
         ts, m = step(ts, batch)
     jax.block_until_ready(m)
@@ -144,6 +152,8 @@ def main():
     jax.block_until_ready(m)
     dt = (time.perf_counter() - t0) / args.steps
     print(f"gan train step: {dt*1e3:.1f} ms, {bs/dt:.0f} img/s")
+    if args.no_trace:
+        return
     with jax.profiler.trace(args.outdir):
         for _ in range(args.steps):
             ts, m = step(ts, batch)
