@@ -738,7 +738,8 @@ class Experiment:
         cfg = self.cfg
         mode = cfg.get("resume_mode", 0)
         stamp = datetime.datetime.now().strftime("%b%d_%H-%M-%S")
-        fresh_logger = Logger(f"{cfg['output_dir']}/runs/train_{self.tag}_{stamp}")
+        fresh_logger = Logger(f"{cfg['output_dir']}/runs/train_{self.tag}_{stamp}",
+                              backend=cfg.get("log_backend", "jsonl"))
         pivot = None
         if mode == 0:
             self.logger = fresh_logger
@@ -752,6 +753,8 @@ class Experiment:
         if mode == 1:
             self._load_opt_sched(ckpt)
             self.logger = ckpt["logger"]
+            # current run's sink choice wins over the checkpointed one
+            self.logger.backend = cfg.get("log_backend", "jsonl")
             # the checkpoint pickles the logger BEFORE the epoch-end reset
             # (reference train_vae.py:83-94 has the same ordering), so the
             # restored running means still hold the checkpoint epoch's

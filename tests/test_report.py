@@ -5,6 +5,7 @@ import os
 import pickle
 
 import numpy as np
+import pytest
 
 from mcgm_tpu.report.logger import Logger
 from mcgm_tpu.report.process import collect_results, process, summarize
@@ -85,3 +86,46 @@ def test_learning_curves_from_checkpoints(tmp_path):
     assert curves["X_label_mcgan_0.5"] == [[1.0, 2.0, 3.0]]
     written = plot_curves(out, ("test/InceptionScore",))
     assert len(written) == 1 and os.path.exists(written[0])
+
+
+def test_logger_tensorboard_backend(tmp_path):
+    """The tensorboard backend writes reference-style event files
+    (reference src/logger.py:17-26, 52-79): add_scalar per metric with the
+    per-name iterator as step, add_text of the formatted info line."""
+    pytest.importorskip("torch.utils.tensorboard")
+    lg = Logger(str(tmp_path), backend="tensorboard")
+    lg.safe(True)
+    lg.append({"Loss": 2.0}, "train", n=1)
+    lg.append({"Loss": 4.0}, "train", n=1)
+    lg.write("train", ["Loss"])
+    lg.safe(False)  # closes the writer, flushing events
+    assert lg._tb is None
+    events = [f for f in os.listdir(tmp_path) if "tfevents" in f]
+    assert events, "no tensorboard event file written"
+    # no jsonl sink in pure-tensorboard mode
+    assert not os.path.exists(os.path.join(tmp_path, "scalars.jsonl"))
+    from tensorboard.backend.event_processing.event_accumulator import \
+        EventAccumulator
+    acc = EventAccumulator(str(tmp_path))
+    acc.Reload()
+    scalars = acc.Scalars("train/Loss")
+    assert len(scalars) == 1
+    assert scalars[0].step == 1
+    assert abs(scalars[0].value - 3.0) < 1e-6
+
+
+def test_logger_both_backend_and_unpickle_default(tmp_path):
+    pytest.importorskip("torch.utils.tensorboard")
+    lg = Logger(str(tmp_path), backend="both")
+    lg.safe(True)
+    lg.append({"Loss": 1.0}, "train")
+    lg.write("train", ["Loss"])
+    lg.safe(False)
+    assert os.path.exists(os.path.join(tmp_path, "scalars.jsonl"))
+    assert any("tfevents" in f for f in os.listdir(tmp_path))
+    # old checkpoints (pickled before the backend attr existed) load as jsonl
+    state = pickle.dumps(lg)
+    lg2 = pickle.loads(state)
+    del lg2.__dict__["backend"]
+    lg3 = pickle.loads(pickle.dumps(lg2))
+    assert lg3.backend == "jsonl"

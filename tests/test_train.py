@@ -319,3 +319,14 @@ def test_glow_resume_mode_1_exact(tmp_output):
         np.testing.assert_array_equal(
             np.asarray(x), np.asarray(y),
             err_msg=jax.tree_util.keystr(p))
+
+
+def test_train_tensorboard_backend_writes_events(tmp_output):
+    pytest.importorskip("torch.utils.tensorboard")
+    import glob
+
+    _run("mcvae", tmp_output, log_backend="both")
+    runs = glob.glob(os.path.join(tmp_output, "runs", "train_*"))
+    assert runs, "no run dir created"
+    assert any("tfevents" in f for f in os.listdir(runs[0]))
+    assert os.path.exists(os.path.join(runs[0], "scalars.jsonl"))
