@@ -87,11 +87,23 @@ def extract_file(path: str, dest: str | None = None) -> None:
                 t.extractall(dest, filter="data")  # traversal-safe filter
             except TypeError:  # Python < 3.9.17/3.10.12/3.11.4: no filter kwarg
                 base = os.path.realpath(dest)
-                members = [
-                    m for m in t.getmembers()
-                    if os.path.realpath(os.path.join(dest, m.name))
-                    .startswith(base + os.sep) and not (m.issym() or m.islnk())
-                ]
+                members, skipped = [], []
+                for m in t.getmembers():
+                    inside = os.path.realpath(
+                        os.path.join(dest, m.name)).startswith(base + os.sep)
+                    # links are dropped wholesale here (filter='data' keeps
+                    # safe in-tree ones) — warn so a dedup'd archive missing
+                    # files is traceable to the interpreter version
+                    if inside and not (m.issym() or m.islnk()):
+                        members.append(m)
+                    else:
+                        skipped.append(m.name)
+                if skipped:
+                    import warnings
+                    warnings.warn(
+                        f"extract_file({os.path.basename(path)}): skipped "
+                        f"{len(skipped)} unsafe/link members (no tarfile "
+                        f"filter= on this Python), e.g. {skipped[:3]}")
                 t.extractall(dest, members=members)
     elif path.endswith(".gz"):
         out = os.path.join(dest, os.path.basename(path)[:-3])

@@ -365,6 +365,24 @@ class _FlowChunkBody(nn.Module):
         return (y, indicator), None
 
 
+def detect_glow_scan_chunk(variables):
+    """Return the ``scan_chunk`` a variable tree was packed with (1 if the
+    scanned leaves use the flat ``flows/flow`` layout, c for ``flow_0..c-1``,
+    1 if no scanned leaves exist)."""
+    def find(node):
+        if isinstance(node, dict):
+            if "flows" in node:
+                keys = node["flows"].keys()
+                return 1 if "flow" in keys else len(keys)
+            for v in node.values():
+                got = find(v)
+                if got is not None:
+                    return got
+        return None
+
+    return find(variables) or 1
+
+
 def rechunk_glow_flows(variables, to_chunk, from_chunk=1):
     """Repack scanned-flow leaves between ``scan_chunk`` layouts.
 

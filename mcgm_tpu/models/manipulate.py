@@ -151,6 +151,18 @@ def create_torch_compat(variables, classes_size: int, seed: int,
 
     family = next(f for f in ("vae", "gan", "pixelcnn", "glow")
                   if f in model_name)
+    if family == "glow":
+        # the flow-major draw-order logic below assumes the scan_chunk=1
+        # leaf layout ([K, num_mode, C] per MC position); a chunk=c tree
+        # interleaves flows across flow_j leaves, so repack, apply, and
+        # repack back — otherwise draws land on the wrong flows silently
+        from .glow import detect_glow_scan_chunk, rechunk_glow_flows
+
+        c = detect_glow_scan_chunk(variables)
+        if c > 1:
+            flat = rechunk_glow_flows(variables, to_chunk=1, from_chunk=c)
+            out = create_torch_compat(flat, classes_size, seed, model_name)
+            return rechunk_glow_flows(out, to_chunk=c, from_chunk=1)
     torch.manual_seed(seed)
     matched = []  # (kind, collection-relative parts, full path)
     for path, leaf in jax.tree_util.tree_leaves_with_path(variables):

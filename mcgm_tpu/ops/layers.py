@@ -372,8 +372,8 @@ def upsampled_conv3x3_dilated(x: jax.Array, kernel: jax.Array,
     )
 
 
-# full-step A/B'd implementation switch (tools/ab_gan_step.py): 'dilated' or
-# 'phase4' — see docs/DESIGN.md round-3 notes for the measured numbers.
+# full-step A/B'd implementation switch (tools/profile_gan_step.py):
+# 'dilated' or 'phase4' — see docs/DESIGN.md round-3 notes for the numbers.
 UPCONV_IMPL = ["dilated"]
 
 

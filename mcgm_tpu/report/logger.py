@@ -54,8 +54,11 @@ class Logger:
         if write:
             if self.log_path:
                 # backend may have been reassigned on an unpickled logger
-                # (resume): honor the current value each time
-                if self.backend in ("tensorboard", "both"):
+                # (resume): honor the current value each time. The TB writer
+                # is reused across epochs — one event file per run, not one
+                # per safe() cycle (each SummaryWriter opens a fresh
+                # timestamped tfevents file and its own writer thread)
+                if self.backend in ("tensorboard", "both") and self._tb is None:
                     self._tb = self._open_tb()
                 if self.backend in ("jsonl", "both"):
                     os.makedirs(self.log_path, exist_ok=True)
@@ -66,10 +69,18 @@ class Logger:
                 self._fh.close()
                 self._fh = None
             if self._tb is not None:
-                self._tb.close()
-                self._tb = None
+                self._tb.flush()
             for name in self.mean:
                 self.history[name].append(self.mean[name])
+
+    def close(self):
+        """Release the sinks (end of run; safe() can re-open them)."""
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None
 
     def reset(self):
         self.tracker = {}

@@ -429,6 +429,7 @@ class Experiment:
             # join (and surface failures from) the async writer even when the
             # loop raises — never leave it mid-write at interpreter exit
             self._ckpt_writer.wait()
+            self.logger.close()
         return self.logger
 
     def _improved(self, value, pivot):
@@ -675,6 +676,17 @@ class Experiment:
                 self.real_stats = (rf.mean(0), np.cov(rf, rowvar=False))
             feature_fn = self.feature_fn
         names = [m for m in cfg["metric_name"]["test"]]
+        unsupported = [m for m in names if m not in ("InceptionScore", "FID")]
+        if unsupported:
+            # fail fast instead of crashing mid-moments (feature_fn=None) or
+            # silently printing 0.0 from the defaultdict mean: the fused
+            # on-device eval scores IS/FID only (the reference's in-loop GAN
+            # protocol, train_gan.py:29-55); anything else runs offline via
+            # generate + test_generated/test_created
+            raise ValueError(
+                f"in-loop GAN eval supports InceptionScore/FID only, got "
+                f"{unsupported}; score other metrics offline via the "
+                f"generate + test_generated/test_created workflows")
         if feature_fn is None:
             names = [m for m in names if m not in ("InceptionScore", "FID")]
         if names:
@@ -781,22 +793,11 @@ class Experiment:
         if not glow_cfg.get("scan_flows", True):
             return variables
         want = int(glow_cfg.get("scan_chunk", 1))
+        from ..models.glow import detect_glow_scan_chunk, rechunk_glow_flows
 
-        def find(node):
-            if isinstance(node, dict):
-                if "flows" in node:
-                    keys = node["flows"].keys()
-                    return 1 if "flow" in keys else len(keys)
-                for v in node.values():
-                    got = find(v)
-                    if got is not None:
-                        return got
-            return None
-
-        have = find(variables)
-        if have is None or have == want:
+        have = detect_glow_scan_chunk(variables)
+        if have == want:
             return variables
-        from ..models.glow import rechunk_glow_flows
 
         return rechunk_glow_flows(variables, to_chunk=want, from_chunk=have)
 

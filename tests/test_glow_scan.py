@@ -196,3 +196,31 @@ def test_checkpoint_scan_chunk_layout_migration():
     assert abs(float(l1) - float(l1b)) < 1e-6
     # matching layouts are returned untouched (no repack, same object)
     assert match(1, v1) is v1
+
+
+def test_create_torch_compat_chunk_layout_equal():
+    """create(torch_compat=True) assigns the reference's flow-major draws
+    identically under every scan_chunk packing — the chunked layout
+    interleaves flows across flow_j leaves, so a naive per-leaf walk would
+    hand the torch-stream draws to the wrong flows."""
+    pytest.importorskip("torch")
+    from mcgm_tpu.models.glow import rechunk_glow_flows
+
+    m = MCGlow((16, 16, 3), hidden_size=16, K=4, L=2, num_mode=6,
+               controller_rate=0.5, scan_flows=True)
+    img = jax.random.uniform(K, (2, 16, 16, 3), minval=-1, maxval=1)
+    lbl = jnp.array([0, 4])
+    v = m.init({"params": K, "noise": K}, {"img": img, "label": lbl},
+               train=True)
+    v2 = rechunk_glow_flows(v, to_chunk=2, from_chunk=1)
+    a = create(v, 5, rng_seed=7, torch_compat=True, model_name="mcglow")
+    b = create(v2, 5, rng_seed=7, torch_compat=True, model_name="mcglow")
+    b_flat = rechunk_glow_flows(b, to_chunk=1, from_chunk=2)
+    la = {jax.tree_util.keystr(p): x for p, x
+          in jax.tree_util.tree_leaves_with_path(a["codebook"])}
+    lb = {jax.tree_util.keystr(p): x for p, x
+          in jax.tree_util.tree_leaves_with_path(b_flat["codebook"])}
+    assert la.keys() == lb.keys() and la
+    for k in la:
+        np.testing.assert_array_equal(np.asarray(la[k]), np.asarray(lb[k]),
+                                      err_msg=k)

@@ -98,7 +98,11 @@ def test_logger_tensorboard_backend(tmp_path):
     lg.append({"Loss": 2.0}, "train", n=1)
     lg.append({"Loss": 4.0}, "train", n=1)
     lg.write("train", ["Loss"])
-    lg.safe(False)  # closes the writer, flushing events
+    lg.safe(False)  # flushes; the writer stays open across epochs
+    tb = lg._tb
+    lg.safe(True)
+    assert lg._tb is tb, "writer must be reused, not one tfevents per epoch"
+    lg.close()
     assert lg._tb is None
     events = [f for f in os.listdir(tmp_path) if "tfevents" in f]
     assert events, "no tensorboard event file written"

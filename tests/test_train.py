@@ -330,3 +330,14 @@ def test_train_tensorboard_backend_writes_events(tmp_output):
     assert runs, "no run dir created"
     assert any("tfevents" in f for f in os.listdir(runs[0]))
     assert os.path.exists(os.path.join(runs[0], "scalars.jsonl"))
+
+
+def test_gan_eval_rejects_unsupported_metric(tmp_output):
+    """The fused in-loop GAN eval scores IS/FID only (the reference's GAN
+    protocol); any other configured test metric must fail fast with
+    guidance, not crash in the moments path or print 0.0 silently."""
+    cfg = make_tiny_cfg("mcgan", tmp_dir=tmp_output, num_epochs=1)
+    exp = Experiment(cfg)
+    exp.cfg["metric_name"]["test"] = ["InceptionScore", "FID", "DBI"]
+    with pytest.raises(ValueError, match="InceptionScore/FID only"):
+        exp.run()

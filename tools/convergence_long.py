@@ -65,14 +65,18 @@ def final_state(exp):
 
 
 def tree_equal(a, b):
-    mism = []
-    for (p, x), (_, y) in zip(jax.tree_util.tree_leaves_with_path(a),
-                              jax.tree_util.tree_leaves_with_path(b)):
-        x, y = np.asarray(x), np.asarray(y)
+    la = jax.tree_util.tree_leaves_with_path(a)
+    lb = jax.tree_util.tree_leaves_with_path(b)
+    # structure mismatch must not silently truncate the zip into a bogus
+    # "bit-equal" verdict — align by path, report asymmetries
+    da = {jax.tree_util.keystr(p): x for p, x in la}
+    db = {jax.tree_util.keystr(p): y for p, y in lb}
+    mism = [(k, float("nan")) for k in da.keys() ^ db.keys()]
+    for k in da.keys() & db.keys():
+        x, y = np.asarray(da[k]), np.asarray(db[k])
         if not np.array_equal(x, y):
-            mism.append((jax.tree_util.keystr(p),
-                         float(np.abs(x.astype(np.float64)
-                                      - y.astype(np.float64)).max())))
+            mism.append((k, float(np.abs(x.astype(np.float64)
+                                         - y.astype(np.float64)).max())))
     return mism
 
 

@@ -58,14 +58,19 @@ def main():
                                                 method="generate"))
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def add_chunk(fsum, fouter, v, Ci, zi):
+    def add_chunk(fsum, fouter, v, Ci, zi, center):
+        # centered accumulation, same as Experiment._gan_eval_moments: raw
+        # f32 second moments cancel catastrophically at feature scale where
+        # |mu| >> sigma; accumulating around a fixed center stays O(sigma)
         img = model.apply(v, Ci, zi, False, method="generate")
         feats, probs = feature_fn(img)
-        f = feats.astype(jnp.float32)
+        f = feats.astype(jnp.float32) - center
         return fsum + f.sum(0), fouter + f.T @ f, probs
 
     probe, _ = feature_fn(jnp.zeros((1, 32, 32, 3)))
     d = probe.shape[-1]
+    first_img = gen(variables, jnp.asarray(C[:chunk], jnp.int32), z[:chunk])
+    center = feature_fn(first_img)[0].astype(jnp.float32).mean(0)
 
     def fused():
         fsum = jnp.zeros((d,), jnp.float32)
@@ -74,11 +79,13 @@ def main():
         for i in range(0, total, chunk):
             Ci = jnp.asarray(C[i:i + chunk], jnp.int32)
             fsum, fouter, p = add_chunk(fsum, fouter, variables, Ci,
-                                        z[i:i + chunk])
+                                        z[i:i + chunk], center)
             parts.append(p)
         probs = np.asarray(jnp.concatenate(parts))
-        mu = np.asarray(fsum) / total
-        sig = (np.asarray(fouter) - total * np.outer(mu, mu)) / (total - 1)
+        gbar = np.asarray(fsum, np.float64) / total
+        mu = np.asarray(center, np.float64) + gbar
+        sig = (np.asarray(fouter, np.float64)
+               - total * np.outer(gbar, gbar)) / (total - 1)
         return inception_score(probs, 1), mu, sig
 
     def host_path():
