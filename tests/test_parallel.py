@@ -235,6 +235,39 @@ def test_vqvae_dp_training_matches_single_device(mesh, tmp_path):
                 err_msg=f"{name}{jax.tree_util.keystr(p)}")
 
 
+def test_gan_dp_training_matches_single_device(mesh, tmp_path):
+    """GAN closes the stateful-family DP matrix (vqvae: VQ-EMA, glow: DDI,
+    gan: spectral-norm power-iteration vectors + dual optimizers + BN inside
+    a scanned 5:1 step — reference train_gan.py:139-176). 2 Experiment
+    epochs on DP8 vs single device from one seed must land in the same
+    final generator/discriminator params, SN/BN state, and both opt states."""
+    from mcgm_tpu.train.loop import Experiment
+
+    def run(mesh_arg, sub):
+        cfg = make_tiny_cfg("mcgan", tmp_dir=str(tmp_path / sub))
+        cfg["num_epochs"] = 2
+        exp = Experiment(cfg, mesh=mesh_arg)
+        exp.run()
+        return exp
+
+    single = run(None, "single")
+    dp = run(mesh, "dp8")
+    pairs = [("g_params", single.ts.g_params, dp.ts.g_params),
+             ("d_params", single.ts.d_params, dp.ts.d_params),
+             ("state", single.ts.state, dp.ts.state)]
+    for name, a, b in pairs:
+        la = jax.tree_util.tree_leaves_with_path(a)
+        lb = jax.tree_util.tree_leaves_with_path(b)
+        assert [jax.tree_util.keystr(p) for p, _ in la] == \
+               [jax.tree_util.keystr(p) for p, _ in lb]
+        for (p, x), (_, y) in zip(la, lb):
+            # same tolerance rationale as the vqvae test; a per-replica SN-u
+            # or BN bug would diverge by O(1) within one epoch
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=2e-3, rtol=5e-3,
+                err_msg=f"{name}{jax.tree_util.keystr(p)}")
+
+
 def test_glow_dp_training_matches_single_device(mesh, tmp_path):
     """Glow is the other stateful sharp case: data-dependent ActNorm init
     (_run_ddi gathers the first n train batches — sharded under the mesh —
