@@ -70,7 +70,71 @@ def build_step(px128: bool = False, remat: bool = False):
     return step, ts, batch
 
 
-def summarize_trace(outdir: str, top: int = 40):
+_SHAPE_RE = None
+
+
+def _parse_hlo_bytes(hlo_text: str) -> dict:
+    """name -> (output_bytes, operand_bytes) for every HLO instruction.
+
+    Bytes are logical buffer sizes (dtype size x element count, tuples
+    summed). Joined with trace device times this gives per-fusion effective
+    HBM bandwidth — the diagnostic that localizes below-roofline fusions
+    (an op at ~800 GB/s on v5e is bandwidth-optimal; one at 300 GB/s has
+    layout padding / strided access / compute limiting it)."""
+    import re
+
+    global _SHAPE_RE
+    if _SHAPE_RE is None:
+        _SHAPE_RE = re.compile(r"(f64|f32|bf16|f16|s64|s32|u32|s16|u16|s8|u8|pred)\[([0-9,]*)\]")
+    dsize = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "s32": 4,
+             "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1}
+
+    def shape_bytes(s: str) -> int:
+        tot = 0
+        for dt, dims in _SHAPE_RE.findall(s):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            tot += n * dsize[dt]
+        return tot
+
+    head_re = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*")
+    defs = {}
+    for line in hlo_text.splitlines():
+        m = head_re.match(line)
+        if not m:
+            continue
+        name = m.group(1)
+        rest = line[m.end():]
+        # shape is either a balanced (tuple, ...) or one whitespace-free token
+        if rest.startswith("("):
+            depth, i = 0, 0
+            for i, ch in enumerate(rest):
+                depth += (ch == "(") - (ch == ")")
+                if depth == 0:
+                    break
+            shape, tail = rest[:i + 1], rest[i + 1:]
+        else:
+            sp = rest.find(" ")
+            shape, tail = (rest, "") if sp < 0 else (rest[:sp], rest[sp:])
+        om = re.match(r"\s*([\w\-]+)\(", tail)
+        opcode = om.group(1) if om else "?"
+        # operand names: every %ref before any kind=/calls= attribute
+        attr = re.search(r"(?:, )(?:kind|calls|custom_call_target|to_apply)=",
+                         tail)
+        opnd_zone = tail[:attr.start()] if attr else tail
+        opnds = re.findall(r"%([\w.\-]+)", opnd_zone)
+        defs[name] = (shape_bytes(shape), opcode, opnds)
+    out = {}
+    for name, (obytes, opcode, opnds) in defs.items():
+        ib = sum(defs[o][0] for o in opnds if o in defs)
+        out[name] = (obytes, ib)
+    return out
+
+
+def summarize_trace(outdir: str, top: int = 40, hlo_bytes: dict | None = None,
+                    steps: int = 1):
     paths = glob.glob(os.path.join(outdir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
@@ -107,9 +171,19 @@ def summarize_trace(outdir: str, top: int = 40):
     print(f"trace: {path}")
     print(f"device tracks: {[pid_names[p] for p in dev_pids]}")
     print(f"op threads: {[tid_names[t] for t in op_tids]}")
-    print(f"{'us_total':>12} {'pct':>6} {'count':>6}  op")
+    if hlo_bytes:
+        print(f"{'us_total':>12} {'pct':>6} {'count':>6} {'GB_tot':>8} {'GB/s':>7}  op")
+    else:
+        print(f"{'us_total':>12} {'pct':>6} {'count':>6}  op")
     for name, dur in sorted(dur_by_name.items(), key=lambda kv: -kv[1])[:top]:
-        print(f"{dur:12.0f} {100*dur/total:6.2f} {count_by_name[name]:6d}  {name[:110]}")
+        if hlo_bytes:
+            ob, ib = hlo_bytes.get(name, (0, 0))
+            gb = (ob + ib) * count_by_name[name] / 1e9
+            gbps = gb / (dur / 1e6) if dur else 0.0
+            print(f"{dur:12.0f} {100*dur/total:6.2f} {count_by_name[name]:6d} "
+                  f"{gb:8.2f} {gbps:7.0f}  {name[:100]}")
+        else:
+            print(f"{dur:12.0f} {100*dur/total:6.2f} {count_by_name[name]:6d}  {name[:110]}")
     print(f"{total:12.0f} 100.00         TOTAL(device)")
 
 
@@ -128,6 +202,9 @@ def main():
                          "the step is bandwidth-bound")
     ap.add_argument("--no-trace", action="store_true",
                     help="wall-time only, skip the profiler trace")
+    ap.add_argument("--traffic", action="store_true",
+                    help="join per-op trace time with HLO buffer bytes and "
+                         "print effective GB/s per fusion")
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
 
@@ -140,6 +217,10 @@ def main():
 
         set_compute_dtype(jnp.bfloat16)
     step, ts, batch = build_step(px128=args.px128, remat=args.remat)
+    hlo_bytes = None
+    if args.traffic:
+        hlo_bytes = _parse_hlo_bytes(
+            step.lower(ts, batch).compile().as_text())
     for _ in range(3):
         ts, m = step(ts, batch)
     jax.block_until_ready(m)
@@ -158,7 +239,8 @@ def main():
         for _ in range(args.steps):
             ts, m = step(ts, batch)
         jax.block_until_ready(m)
-    summarize_trace(args.outdir, args.top)
+    summarize_trace(args.outdir, args.top, hlo_bytes=hlo_bytes,
+                    steps=args.steps)
 
 
 if __name__ == "__main__":
