@@ -133,3 +133,33 @@ def test_logger_both_backend_and_unpickle_default(tmp_path):
     del lg2.__dict__["backend"]
     lg3 = pickle.loads(pickle.dumps(lg2))
     assert lg3.backend == "jsonl"
+
+
+def test_profile_tool_hlo_bytes_parser():
+    """The --traffic diagnostic joins trace times with HLO buffer bytes;
+    the parser must handle plain shapes, layout annotations with nested
+    parens (T(8,128)(2,1)), and multi-output tuple fusions."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "profile_gan_step",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "profile_gan_step.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    hlo = """
+  %p0 = bf16[32,64]{1,0:T(8,128)(2,1)} parameter(0)
+  %p1 = f32[64]{0:T(128)} parameter(1)
+  %fusion.1 = (bf16[64]{0:T(256)(128)(2,1)S(1)}, bf16[32,64]{1,0:T(8,128)(2,1)}) fusion(%p0, %p1), kind=kOutput, calls=%fused_computation.1
+  ROOT %conv.2 = bf16[32,64]{1,0} convolution(%p0, %p0), window={size=3x3}
+"""
+    out = mod._parse_hlo_bytes(hlo)
+    # p0: 32*64*2 = 4096 bytes out, no operands
+    assert out["p0"] == (4096, 0)
+    assert out["p1"] == (256, 0)
+    # fusion.1: tuple output 64*2 + 4096; operands p0+p1 = 4096+256
+    assert out["fusion.1"] == (128 + 4096, 4096 + 256)
+    # ROOT line, repeated operand counted twice (both are read)
+    assert out["conv.2"] == (4096, 8192)

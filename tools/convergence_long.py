@@ -85,6 +85,12 @@ def main():
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--cls-epochs", type=int, default=10)
     ap.add_argument("--out", default="/tmp/mcgm_long")
+    ap.add_argument("--skip-resume-leg", action="store_true",
+                    help="trajectory-only run (no crash/resume leg); used "
+                         "for the 200-epoch reference-horizon artifact — "
+                         "resume equality is already proven at 50 epochs")
+    ap.add_argument("--artifact", default="convergence_long_mcgan.json",
+                    help="artifact filename under docs/artifacts/")
     args = ap.parse_args()
     dir_a, dir_b = args.out + "_a", args.out + "_b"
 
@@ -106,6 +112,30 @@ def main():
     log_a = exp_a.run()
     wall_a = time.time() - t0
     print(f"run A (uninterrupted {args.epochs} epochs): {wall_a:.0f}s")
+
+    if args.skip_resume_leg:
+        hist_a = {k: [round(float(v), 4) for v in vs]
+                  for k, vs in log_a.history.items()}
+        artifact = {
+            "description": f"{args.epochs}-epoch MCGAN Synthetic "
+                           "convergence through the production Experiment "
+                           "(fused on-device IS/FID eval each epoch) on one "
+                           "v5e chip — the reference's 200-epoch protocol "
+                           "horizon (config.yml:41); crash/resume equality "
+                           "proven separately at 50 epochs",
+            "device": str(jax.devices()[0]),
+            "epochs": args.epochs,
+            "wall_s_uninterrupted": round(wall_a, 1),
+            "eval_s_last_epoch": round(
+                getattr(exp_a, "_last_eval_seconds", -1), 3),
+            "history": hist_a,
+        }
+        dest = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "docs", "artifacts", args.artifact)
+        with open(dest, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print("wrote", dest)
+        return
 
     # B: crash mid-epoch 21, then resume_mode=1 to the same horizon
     exp_b1 = _CrashAt(make_cfg("mcgan", "0.5", args.epochs, dir_b))
@@ -149,8 +179,7 @@ def main():
         "history": hist_a,
     }
     dest = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "docs", "artifacts",
-        "convergence_long_mcgan.json")
+        os.path.abspath(__file__))), "docs", "artifacts", args.artifact)
     with open(dest, "w") as f:
         json.dump(artifact, f, indent=1)
     print("wrote", dest)
