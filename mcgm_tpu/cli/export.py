@@ -31,6 +31,11 @@ def main(argv=None, **defaults):
     pre.add_argument("--platforms", default=defaults.pop("platforms", None))
     pre.add_argument("--batch", dest="export_batch",
                      default=defaults.pop("export_batch", "b"))
+    pre.add_argument("--quantize", default=defaults.pop("quantize", None),
+                     choices=(None, "int8"),
+                     help="int8: post-training-quantized serving artifact "
+                          "(per-channel int8 weights, dynamic activation "
+                          "scales; gan/vae)")
     own, rest = pre.parse_known_args(
         sys.argv[1:] if argv is None else argv)
     cfg = parse_cfg(rest, **defaults)
@@ -49,8 +54,10 @@ def main(argv=None, **defaults):
         tag = make_model_tag(cfg, seed)
         print(f"Export: {tag}")
         sampler = load_sampler(cfg, tag)
-        blob = export_sampler(sampler, batch=batch, platforms=platforms)
-        path = os.path.join(cfg["output_dir"], "export", f"{tag}.stablehlo")
+        blob = export_sampler(sampler, batch=batch, platforms=platforms,
+                              quantize=own.quantize)
+        suffix = ".int8.stablehlo" if own.quantize == "int8" else ".stablehlo"
+        path = os.path.join(cfg["output_dir"], "export", f"{tag}{suffix}")
         save_artifact(blob, path)
         print(f"wrote {path} ({len(blob) / 1e6:.1f} MB)")
 

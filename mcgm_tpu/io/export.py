@@ -21,14 +21,28 @@ from jax import export as jexport
 
 
 def export_sampler(sampler, batch: int | str = "b",
-                   platforms: tuple | None = None) -> bytes:
+                   platforms: tuple | None = None,
+                   quantize: str | None = None) -> bytes:
     """Serialize ``sampler``'s generate function (weights baked in).
 
     ``batch``: an int for a fixed batch size, or a symbolic-dimension name
     (default ``"b"``) so the artifact accepts any batch size.
     ``platforms``: lowering targets, e.g. ``("cpu", "tpu")``; None = the
     current default backend.
+    ``quantize``: ``"int8"`` traces the generate path in post-training-
+    quantized mode (ops/layers.py int8_serving): per-channel int8 weights —
+    constant-folded by the serving host's compiler since the weights are
+    baked-in constants — dynamic per-tensor activation scales, s8xs8->s32
+    convs on the MXU at twice the bf16 rate. One-shot decoder families
+    (gan/vae) only; glow's logdet-free reverse is numerics-sensitive and
+    pixelcnn samples discrete codes through argmax-adjacent logits, so both
+    stay full precision.
     """
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unknown quantize mode {quantize!r}")
+    if quantize and sampler.family not in ("vae", "gan"):
+        raise ValueError(
+            f"int8 serving supports vae/gan, not {sampler.family}")
     fam = sampler.family
     model, variables = sampler.model, sampler.variables
     b = (jexport.symbolic_shape(batch)[0] if isinstance(batch, str)
@@ -59,7 +73,14 @@ def export_sampler(sampler, batch: int | str = "b",
     else:
         raise ValueError(f"family {fam} cannot be exported for serving")
     kw = {} if platforms is None else {"platforms": list(platforms)}
-    return jexport.export(jax.jit(fn), **kw)(*args).serialize()
+    if quantize == "int8":
+        from ..ops.layers import int8_serving
+
+        with int8_serving():
+            exported = jexport.export(jax.jit(fn), **kw)(*args)
+    else:
+        exported = jexport.export(jax.jit(fn), **kw)(*args)
+    return exported.serialize()
 
 
 def load_serving_fn(blob: bytes):

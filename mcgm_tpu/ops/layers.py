@@ -60,6 +60,56 @@ def _cast_compute(x, kernel):
     return x.astype(dt), kernel.astype(dt)
 
 
+# Int8 post-training-quantized SERVING path (never training): weights are
+# quantized per-output-channel at trace time — under jax.export the trained
+# weights are captured constants, so the quantize ops constant-fold on the
+# serving host and the artifact runs s8xs8->s32 convs on the MXU at twice
+# the bf16 rate. Activations are quantized dynamically (per-tensor abs-max)
+# so no calibration pass is needed. Enable via int8_serving() /
+# set_int8_serving(True); the one-shot decoder families (gan/vae generate)
+# are the intended targets. The reference has no quantized-inference story.
+_INT8_SERVING = [False]
+
+
+def set_int8_serving(enabled: bool):
+    _INT8_SERVING[0] = bool(enabled)
+
+
+class int8_serving:
+    """Context manager: trace the enclosed apply/export in int8-PTQ mode."""
+
+    def __enter__(self):
+        self._prev = _INT8_SERVING[0]
+        _INT8_SERVING[0] = True
+
+    def __exit__(self, *exc):
+        _INT8_SERVING[0] = self._prev
+        return False
+
+
+def _quantize_sym(t: jax.Array, axes: tuple, dtype=jnp.int8):
+    """Symmetric linear quantization to int8 over ``axes`` (reduced out of
+    the scale). Returns (q, scale) with t ≈ q * scale."""
+    amax = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=axes, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(t / scale), -127, 127).astype(dtype)
+    return q, scale
+
+
+def _int8_conv(x, kernel, run_conv):
+    """``run_conv(qx, qw, preferred_element_type)`` in int8, rescaled to f32.
+
+    Weight scales are per output channel (last kernel axis); the activation
+    scale is one dynamic per-tensor scalar. Exact integer accumulation in
+    int32 (verified s8xs8->s32 on TPU and CPU), so the only error is the
+    two rounding steps."""
+    qw, wscale = _quantize_sym(kernel, axes=tuple(range(kernel.ndim - 1)))
+    qx, xscale = _quantize_sym(x, axes=tuple(range(x.ndim)))
+    y = run_conv(qx, qw, jnp.int32)
+    # wscale broadcasts over the output-channel (last) axis
+    return y.astype(jnp.float32) * (wscale.reshape(-1) * xscale.reshape(()))
+
+
 def _pref():
     """preferred_element_type: explicit f32 accumulation in full precision;
     in bf16 mode let XLA use the native bf16 conv path (MXU still accumulates
@@ -156,15 +206,20 @@ class Conv(nn.Module):
             pad = [(self.padding, self.padding)] * 2
         else:
             pad = self.padding
-        xc, kc = _cast_compute(x, kernel)
-        y = jax.lax.conv_general_dilated(
-            xc, kc,
-            window_strides=(self.strides, self.strides),
-            padding=pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=_pref(),
-        )
-        y = _cast_out(y)
+        def run_conv(xx, kk, pref):
+            return jax.lax.conv_general_dilated(
+                xx, kk,
+                window_strides=(self.strides, self.strides),
+                padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=pref,
+            )
+
+        if _INT8_SERVING[0]:
+            y = _int8_conv(x, kernel, run_conv)
+        else:
+            xc, kc = _cast_compute(x, kernel)
+            y = _cast_out(run_conv(xc, kc, _pref()))
         if self.use_bias:
             binit = self.bias_init or torch_bias_init(in_ch * kh * kw)
             bias = self.param("bias", binit, (self.features,))
@@ -194,19 +249,24 @@ class ConvTranspose(nn.Module):
         # torch ConvTranspose2d padding p == (k-1-p) input-side padding of the
         # equivalent fractionally-strided conv; torch scatters the kernel
         # unflipped, which corresponds to flipping it for conv_transpose.
-        xc, kc = _cast_compute(x, kernel[::-1, ::-1])
-        y = jax.lax.conv_transpose(
-            xc, kc,
-            strides=(s, s),
-            padding=[(k - 1 - p, k - 1 - p)] * 2,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=_pref(),
-        )
+        def run_conv(xx, kk, pref):
+            return jax.lax.conv_transpose(
+                xx, kk,
+                strides=(s, s),
+                padding=[(k - 1 - p, k - 1 - p)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=pref,
+            )
+
+        if _INT8_SERVING[0]:
+            y = _int8_conv(x, kernel[::-1, ::-1], run_conv)
+        else:
+            xc, kc = _cast_compute(x, kernel[::-1, ::-1])
+            y = _cast_out(run_conv(xc, kc, _pref()))
         # torch out = (H-1)*s - 2p + k; crop any overshoot deterministically.
         target = (x.shape[1] - 1) * s - 2 * p + k
         if y.shape[1] != target:
             y = y[:, :target, :target, :]
-        y = _cast_out(y)
         if self.use_bias:
             # torch ConvTranspose2d fan_in = out_ch * k * k per its weight layout
             bias = self.param("bias", torch_bias_init(in_ch * k * k), (self.features,))
@@ -223,8 +283,13 @@ class Dense(nn.Module):
     def __call__(self, x):
         in_f = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init, (in_f, self.features))
-        xc, kc = _cast_compute(x, kernel)
-        y = _cast_out(jnp.dot(xc, kc, preferred_element_type=_pref()))
+        if _INT8_SERVING[0]:
+            y = _int8_conv(x, kernel,
+                           lambda xx, kk, pref: jnp.dot(
+                               xx, kk, preferred_element_type=pref))
+        else:
+            xc, kc = _cast_compute(x, kernel)
+            y = _cast_out(jnp.dot(xc, kc, preferred_element_type=_pref()))
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(in_f), (self.features,))
             y = y + bias.astype(y.dtype)
@@ -391,10 +456,21 @@ class UpsampledConv(nn.Module):
     def __call__(self, x):
         in_ch = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init, (3, 3, in_ch, self.features))
-        xc, kc = _cast_compute(x, kernel)
-        impl = (upsampled_conv3x3_dilated if UPCONV_IMPL[0] == "dilated"
-                else upsampled_conv3x3)
-        y = _cast_out(impl(xc, kc, pref=_pref()))
+        if _INT8_SERVING[0]:
+            # quantize the COMPOSITE 4x4 kernel (one rounding step) and run
+            # the lhs-dilated form; inserted zeros quantize exactly
+            def run_conv(xx, kk, pref):
+                return jax.lax.conv_general_dilated(
+                    xx, kk, (1, 1), [(2, 2), (2, 2)], lhs_dilation=(2, 2),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=pref)
+
+            y = _int8_conv(x, _up4_kernel(kernel), run_conv)
+        else:
+            xc, kc = _cast_compute(x, kernel)
+            impl = (upsampled_conv3x3_dilated if UPCONV_IMPL[0] == "dilated"
+                    else upsampled_conv3x3)
+            y = _cast_out(impl(xc, kc, pref=_pref()))
         if self.use_bias:
             binit = self.bias_init or torch_bias_init(in_ch * 9)
             bias = self.param("bias", binit, (self.features,))

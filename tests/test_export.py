@@ -116,3 +116,46 @@ def test_export_cli_flags_parse(tmp_path):
         main(["--data_name", "Synthetic", "--model_name", "mcvae",
               "--platforms", "cpu", "--batch", "4",
               "--output_dir", str(tmp_path)])
+
+
+def test_export_int8_quantized_gan():
+    """int8 PTQ artifact: runs, stays close to the f32 path (two symmetric
+    roundings per conv — outputs are tanh-bounded in [-1,1]), and exactly
+    reproduces the LIVE int8-traced apply (the artifact must capture the
+    same quantized graph)."""
+    from mcgm_tpu.ops.layers import int8_serving
+
+    s = _sampler("mcgan")
+    blob = export_sampler(s, batch="b", quantize="int8")
+    fn = load_serving_fn(blob)
+    B = 4
+    C = jnp.arange(B, dtype=jnp.int32) % 10
+    z = jax.random.normal(jax.random.PRNGKey(3), (B, s.model.latent_size))
+    got = np.asarray(fn(C, z))
+    want_f32 = np.asarray(s.model.apply(s.variables, C, z, method="generate"))
+    assert got.shape == want_f32.shape
+    assert np.isfinite(got).all()
+    # quantization noise is bounded; untrained tiny nets give the loosest
+    # case and still track the f32 path closely on [-1,1] outputs
+    assert np.mean(np.abs(got - want_f32)) < 0.1, \
+        np.mean(np.abs(got - want_f32))
+    with int8_serving():
+        want_q = np.asarray(
+            s.model.apply(s.variables, C, z, method="generate"))
+    np.testing.assert_allclose(got, want_q, atol=1e-6)
+
+
+def test_export_int8_rejects_glow():
+    import pytest
+
+    s = _sampler("mcglow")
+    with pytest.raises(ValueError, match="int8 serving"):
+        export_sampler(s, quantize="int8")
+
+
+def test_int8_flag_restored_after_export():
+    from mcgm_tpu.ops.layers import _INT8_SERVING
+
+    s = _sampler("mcvae")
+    export_sampler(s, batch=2, quantize="int8")
+    assert _INT8_SERVING[0] is False
