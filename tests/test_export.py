@@ -159,3 +159,22 @@ def test_int8_flag_restored_after_export():
     s = _sampler("mcvae")
     export_sampler(s, batch=2, quantize="int8")
     assert _INT8_SERVING[0] is False
+
+
+def test_export_created_modes_artifact():
+    """Mode surgery composes with serving: create() re-randomizes modes
+    (here 10 -> 7 never-trained modes), and the created model exports to a
+    self-contained artifact reproducing the live created sampler."""
+    from mcgm_tpu.workflows.create import _created_sampler
+
+    s = _sampler("mcgan")
+    s2 = _created_sampler(s, 7, 3)
+    assert s2.cfg["classes_size"] == 7
+    blob = export_sampler(s2, batch="b")
+    fn = load_serving_fn(blob)
+    C = jnp.arange(7, dtype=jnp.int32)
+    z = jax.random.normal(K, (7, s2.model.latent_size))
+    got = np.asarray(fn(C, z))
+    want = np.asarray(s2.model.apply(s2.variables, C, z, method="generate"))
+    assert got.shape[0] == 7
+    assert np.allclose(got, want, atol=1e-5)
