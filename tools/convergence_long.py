@@ -89,13 +89,19 @@ def main():
                     help="trajectory-only run (no crash/resume leg); used "
                          "for the 200-epoch reference-horizon artifact — "
                          "resume equality is already proven at 50 epochs")
+    ap.add_argument("--resume", action="store_true",
+                    help="run A with resume_mode=1: continue from its "
+                         "existing checkpoint (recovery after an external "
+                         "kill/infra fault mid-run)")
     ap.add_argument("--artifact", default="convergence_long_mcgan.json",
                     help="artifact filename under docs/artifacts/")
     args = ap.parse_args()
     dir_a, dir_b = args.out + "_a", args.out + "_b"
 
     # feature model once, shared into both runs' output dirs
-    exp_c = Experiment(make_cfg("classifier", "None", args.cls_epochs, dir_a))
+    rm = 1 if args.resume else 0
+    exp_c = Experiment(make_cfg("classifier", "None", args.cls_epochs, dir_a,
+                                resume_mode=rm))
     t0 = time.time()
     log_c = exp_c.run()
     print(f"classifier: {time.time() - t0:.0f}s, "
@@ -107,7 +113,8 @@ def main():
                         os.path.join(dir_b, "model", f))
 
     # A: uninterrupted
-    exp_a = Experiment(make_cfg("mcgan", "0.5", args.epochs, dir_a))
+    exp_a = Experiment(make_cfg("mcgan", "0.5", args.epochs, dir_a,
+                                resume_mode=rm))
     t0 = time.time()
     log_a = exp_a.run()
     wall_a = time.time() - t0

@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Serving-path A/B on the real chip: live bf16 jit vs deserialized bf16
+artifact vs int8 post-training-quantized artifact (io/export.py).
+
+Throughput leg (always): MCGAN CIFAR10 generate at --batch, reps timed with
+block_until_ready. Quality leg (only with a trained checkpoint +
+classifier): IS/FID of the bf16 artifact's samples vs the int8 artifact's
+samples from the SAME z sweep — the int8 quality cost in the metric that
+matters, not just per-pixel error.
+
+Usage:
+  python tools/measure_serving.py                       # throughput only
+  python tools/measure_serving.py --output_dir /tmp/mcgm_200ep_a \
+      --data_name Synthetic --quality                   # + IS/FID deltas
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/mcgm_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def build_sampler(args):
+    from mcgm_tpu.workflows.sampling import Sampler
+
+    if args.output_dir:
+        from mcgm_tpu.config import (apply_control_name, load_config,
+                                     make_model_tag, process_control)
+        from mcgm_tpu.data import fetch_dataset, process_dataset
+        from mcgm_tpu.workflows import load_sampler
+
+        cfg = load_config()
+        cfg = apply_control_name(cfg, args.control_name)
+        cfg.update(data_name=args.data_name, model_name="mcgan",
+                   output_dir=args.output_dir)
+        cfg = process_control(cfg)
+        dataset = fetch_dataset(cfg["data_name"], cfg["subset"],
+                                cfg.get("data_dir", "./data"))
+        cfg = process_dataset(dataset["train"], cfg)
+        tag = make_model_tag(cfg, args.seed)
+        return load_sampler(cfg, tag), cfg, dataset
+    # random-init full-size MCGAN at the CIFAR10 protocol (throughput only)
+    from mcgm_tpu.models.gan import MCGAN
+    from mcgm_tpu.train.state import jit_init
+
+    model = MCGAN((32, 32, 3), 128, (256,) * 4, (128,) * 4, num_mode=10,
+                  controller_rate=0.5, cifar_style=True)
+    rng = jax.random.PRNGKey(0)
+    batch = {"img": jnp.zeros((2, 32, 32, 3)),
+             "label": jnp.zeros((2,), jnp.int32)}
+    v = jit_init(model, {"params": rng, "z": rng}, batch, train=False)
+    cfg = {"model_name": "mcgan", "classes_size": 10,
+           "data_shape": (32, 32, 3), "generate_per_mode": 1000}
+    return Sampler(cfg, model, v), cfg, None
+
+
+def time_fn(fn, C, zs, reps=30):
+    """Pipelined throughput with FRESH z per rep (byte-identical repeated
+    inputs measured impossibly fast through the tunnel — above hardware
+    peak — so inputs must vary), one block at the end."""
+    out = fn(C, zs[0])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = fn(C, zs[1 + (i % (len(zs) - 1))])
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--reps", type=int, default=30)
+    ap.add_argument("--output_dir", default=None,
+                    help="trained experiment dir (enables --quality)")
+    ap.add_argument("--data_name", default="Synthetic")
+    ap.add_argument("--control_name", default="0.5")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--quality", action="store_true",
+                    help="score bf16 vs int8 artifacts with IS/FID "
+                         "(needs trained gan + classifier checkpoints)")
+    ap.add_argument("--per-mode", type=int, default=100,
+                    help="generated images per mode for the quality leg "
+                         "(n = classes_size * per_mode)")
+    ap.add_argument("--artifact", default=None,
+                    help="also write the numbers to docs/artifacts/<name>")
+    args = ap.parse_args()
+
+    from mcgm_tpu.io.export import export_sampler, load_serving_fn
+    from mcgm_tpu.ops.layers import set_compute_dtype
+
+    set_compute_dtype(jnp.bfloat16)
+    sampler, cfg, dataset = build_sampler(args)
+    B = args.batch
+    C = jnp.arange(B, dtype=jnp.int32) % cfg["classes_size"]
+    zs = [jax.random.normal(jax.random.PRNGKey(i),
+                            (B, sampler.model.latent_size))
+          for i in range(9)]
+
+    blob_bf16 = export_sampler(sampler, batch="b")
+    blob_int8 = export_sampler(sampler, batch="b", quantize="int8")
+    fn_bf16 = load_serving_fn(blob_bf16)
+    fn_int8 = load_serving_fn(blob_int8)
+    live = jax.jit(lambda C, z: sampler.model.apply(
+        sampler.variables, C, z, method="generate"))
+
+    rows = {}
+    for name, fn in (("live_bf16_jit", live),
+                     ("artifact_bf16", fn_bf16),
+                     ("artifact_int8", fn_int8)):
+        dt = time_fn(fn, C, zs, reps=args.reps)
+        rows[name] = {"ms_per_batch": round(dt * 1e3, 3),
+                      "samples_per_sec": round(B / dt)}
+        print(f"{name:>14}: {dt*1e3:7.2f} ms/batch "
+              f"({B/dt:,.0f} samples/s)  batch {B}")
+    rows["artifact_bytes"] = {"bf16": len(blob_bf16), "int8": len(blob_int8)}
+    rows["model"] = {
+        "source": "trained checkpoint" if args.output_dir else "random init",
+        "generator_hidden": list(
+            getattr(sampler.model, "generator_hidden_size", ())),
+    }
+    print(f"artifact size: bf16 {len(blob_bf16)/2**20:.1f} MiB, "
+          f"int8 {len(blob_int8)/2**20:.1f} MiB")
+
+    if args.quality:
+        from mcgm_tpu.evals.features import (extract_real_features,
+                                             make_feature_fn)
+        from mcgm_tpu.evals.metrics import (batched_feature_probs,
+                                            frechet_distance,
+                                            inception_score)
+
+        feature_fn = make_feature_fn(cfg)
+        if feature_fn is None:
+            raise SystemExit("quality leg needs a trained classifier")
+        real = extract_real_features(feature_fn, dataset["train"].img)
+        mu1 = real.mean(0).astype(np.float64)
+        sigma1 = np.cov(real.astype(np.float64), rowvar=False)
+        n = cfg["classes_size"] * args.per_mode
+        Cs = np.tile(np.arange(cfg["classes_size"]), args.per_mode)
+        rng = jax.random.PRNGKey(2)
+        for name, fn in (("bf16", fn_bf16), ("int8", fn_int8)):
+            feats, probs = [], []
+            for i in range(0, n, B):
+                Ci = jnp.asarray(Cs[i:i + B], jnp.int32)
+                zi = jax.random.fold_in(rng, i)
+                zb = jax.random.normal(zi, (len(Ci), sampler.model.latent_size))
+                if len(Ci) < B:  # keep one compiled shape
+                    pad = B - len(Ci)
+                    img = fn(jnp.pad(Ci, (0, pad)),
+                             jnp.pad(zb, ((0, pad), (0, 0))))[: len(Ci)]
+                else:
+                    img = fn(Ci, zb)
+                f, p = batched_feature_probs(
+                    feature_fn, np.asarray(img, np.float32))
+                feats.append(f)
+                probs.append(p)
+            feats = np.concatenate(feats)
+            probs = np.concatenate(probs)
+            is_v = inception_score(probs, 1)
+            fid = frechet_distance(
+                mu1, sigma1, feats.mean(0).astype(np.float64),
+                np.cov(feats.astype(np.float64), rowvar=False))
+            rows[f"quality_{name}"] = {"IS": round(float(is_v), 4),
+                                       "FID": round(float(fid), 4), "n": n}
+            print(f"quality {name}: IS {is_v:.4f}  FID {fid:.4f}  (n={n})")
+
+    if args.artifact:
+        dest = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "docs", "artifacts", args.artifact)
+        rows["device"] = str(jax.devices()[0])
+        rows["batch"] = B
+        with open(dest, "w") as f:
+            json.dump(rows, f, indent=1)
+        print("wrote", dest)
+
+
+if __name__ == "__main__":
+    main()
