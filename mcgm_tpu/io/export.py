@@ -32,7 +32,7 @@ def export_sampler(sampler, batch: int | str = "b",
     ``quantize``: ``"int8"`` traces the generate path in post-training-
     quantized mode (ops/layers.py int8_serving): per-channel int8 weights —
     constant-folded by the serving host's compiler since the weights are
-    baked-in constants — dynamic per-tensor activation scales, s8xs8->s32
+    baked-in constants — dynamic per-example activation scales, s8xs8->s32
     convs on the MXU at twice the bf16 rate. One-shot decoder families
     (gan/vae) only; glow's logdet-free reverse is numerics-sensitive and
     pixelcnn samples discrete codes through argmax-adjacent logits, so both

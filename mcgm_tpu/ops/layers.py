@@ -64,15 +64,12 @@ def _cast_compute(x, kernel):
 # quantized per-output-channel at trace time — under jax.export the trained
 # weights are captured constants, so the quantize ops constant-fold on the
 # serving host and the artifact runs s8xs8->s32 convs on the MXU at twice
-# the bf16 rate. Activations are quantized dynamically (per-tensor abs-max)
-# so no calibration pass is needed. Enable via int8_serving() /
-# set_int8_serving(True); the one-shot decoder families (gan/vae generate)
-# are the intended targets. The reference has no quantized-inference story.
+# the bf16 rate. Activations are quantized dynamically (per-EXAMPLE abs-max,
+# so a request's pixels never depend on what it was co-batched with) with no
+# calibration pass. Enable via the int8_serving context manager; the
+# one-shot decoder families (gan/vae generate) are the intended targets.
+# The reference has no quantized-inference story.
 _INT8_SERVING = [False]
-
-
-def set_int8_serving(enabled: bool):
-    _INT8_SERVING[0] = bool(enabled)
 
 
 class int8_serving:
@@ -99,15 +96,19 @@ def _quantize_sym(t: jax.Array, axes: tuple, dtype=jnp.int8):
 def _int8_conv(x, kernel, run_conv):
     """``run_conv(qx, qw, preferred_element_type)`` in int8, rescaled to f32.
 
-    Weight scales are per output channel (last kernel axis); the activation
-    scale is one dynamic per-tensor scalar. Exact integer accumulation in
-    int32 (verified s8xs8->s32 on TPU and CPU), so the only error is the
-    two rounding steps."""
+    Weight scales are per output channel (last kernel axis); activation
+    scales are per EXAMPLE (abs-max over each sample's own elements) so the
+    quantization of one request is invariant to batch composition — the
+    symbolic-batch artifact returns the same pixels for the same (C, z)
+    whether served alone or co-batched. Exact integer accumulation in int32
+    (verified s8xs8->s32 on TPU and CPU), so the only error is the two
+    rounding steps."""
     qw, wscale = _quantize_sym(kernel, axes=tuple(range(kernel.ndim - 1)))
-    qx, xscale = _quantize_sym(x, axes=tuple(range(x.ndim)))
+    qx, xscale = _quantize_sym(x, axes=tuple(range(1, x.ndim)))
     y = run_conv(qx, qw, jnp.int32)
-    # wscale broadcasts over the output-channel (last) axis
-    return y.astype(jnp.float32) * (wscale.reshape(-1) * xscale.reshape(()))
+    # wscale broadcasts over the output-channel (last) axis; xscale keeps
+    # its [B, 1, ...] keepdims shape and broadcasts over the batch axis
+    return y.astype(jnp.float32) * (wscale.reshape(-1) * xscale)
 
 
 def _pref():

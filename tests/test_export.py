@@ -178,3 +178,28 @@ def test_export_created_modes_artifact():
     want = np.asarray(s2.model.apply(s2.variables, C, z, method="generate"))
     assert got.shape[0] == 7
     assert np.allclose(got, want, atol=1e-5)
+
+
+def test_export_int8_batch_invariant():
+    """Activation scales are per-EXAMPLE, so a request's quantization does
+    not depend on what it was co-batched with (code-review finding:
+    per-tensor scales let a co-batched outlier rescale everyone). Exact
+    bit-equality across batch sizes is unattainable even in f32 (XLA
+    reassociates reduces per batch shape, ~1 ulp), which quantization can
+    amplify by one level at rounding boundaries — so assert closeness at
+    well-below-one-quantization-step mean error against a 100x outlier
+    co-batch that would wreck a shared per-tensor scale."""
+    s = _sampler("mcgan")
+    fn = load_serving_fn(export_sampler(s, batch="b", quantize="int8"))
+    C1 = jnp.asarray([3], jnp.int32)
+    z1 = jax.random.normal(jax.random.PRNGKey(9), (1, s.model.latent_size))
+    alone = np.asarray(fn(C1, z1))
+    C4 = jnp.asarray([3, 0, 7, 1], jnp.int32)
+    z4 = jnp.concatenate(
+        [z1, 100.0 * jax.random.normal(jax.random.PRNGKey(10),
+                                       (3, s.model.latent_size))])
+    cobatched = np.asarray(fn(C4, z4))[:1]
+    # outputs live in [-1, 1]; one int8 level of the final conv is ~1/127
+    err = np.abs(alone - cobatched)
+    assert err.mean() < 2e-3, err.mean()
+    assert err.max() < 0.05, err.max()

@@ -219,7 +219,8 @@ def test_vqvae_dp_training_matches_single_device(mesh, tmp_path):
     single = run(None, "single")
     dp = run(mesh, "dp8")
     for name, a, b in [("params", single.ts.params, dp.ts.params),
-                       ("state", single.ts.state, dp.ts.state)]:
+                       ("state", single.ts.state, dp.ts.state),
+                       ("opt_state", single.ts.opt_state, dp.ts.opt_state)]:
         la = jax.tree_util.tree_leaves_with_path(a)
         lb = jax.tree_util.tree_leaves_with_path(b)
         assert [jax.tree_util.keystr(p) for p, _ in la] == \
@@ -254,7 +255,9 @@ def test_gan_dp_training_matches_single_device(mesh, tmp_path):
     dp = run(mesh, "dp8")
     pairs = [("g_params", single.ts.g_params, dp.ts.g_params),
              ("d_params", single.ts.d_params, dp.ts.d_params),
-             ("state", single.ts.state, dp.ts.state)]
+             ("state", single.ts.state, dp.ts.state),
+             ("g_opt_state", single.ts.g_opt_state, dp.ts.g_opt_state),
+             ("d_opt_state", single.ts.d_opt_state, dp.ts.d_opt_state)]
     for name, a, b in pairs:
         la = jax.tree_util.tree_leaves_with_path(a)
         lb = jax.tree_util.tree_leaves_with_path(b)
@@ -286,7 +289,8 @@ def test_glow_dp_training_matches_single_device(mesh, tmp_path):
     single = run(None, "single")
     dp = run(mesh, "dp8")
     for name, a, b in [("params", single.ts.params, dp.ts.params),
-                       ("state", single.ts.state, dp.ts.state)]:
+                       ("state", single.ts.state, dp.ts.state),
+                       ("opt_state", single.ts.opt_state, dp.ts.opt_state)]:
         la = jax.tree_util.tree_leaves_with_path(a)
         lb = jax.tree_util.tree_leaves_with_path(b)
         assert [jax.tree_util.keystr(p) for p, _ in la] == \

@@ -132,7 +132,11 @@ def main():
                            "proven separately at 50 epochs",
             "device": str(jax.devices()[0]),
             "epochs": args.epochs,
-            "wall_s_uninterrupted": round(wall_a, 1),
+            # with --resume this times only the resumed leg, not the full
+            # horizon — label it honestly
+            ("wall_s_final_leg" if args.resume else "wall_s_uninterrupted"):
+                round(wall_a, 1),
+            "resumed": bool(args.resume),
             "eval_s_last_epoch": round(
                 getattr(exp_a, "_last_eval_seconds", -1), 3),
             "history": hist_a,

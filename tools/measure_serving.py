@@ -98,6 +98,10 @@ def main():
                     help="also write the numbers to docs/artifacts/<name>")
     args = ap.parse_args()
 
+    if args.quality and not args.output_dir:
+        raise SystemExit("--quality needs --output_dir (trained gan + "
+                         "classifier checkpoints)")
+
     from mcgm_tpu.io.export import export_sampler, load_serving_fn
     from mcgm_tpu.ops.layers import set_compute_dtype
 

@@ -85,9 +85,13 @@ def _parse_hlo_bytes(hlo_text: str) -> dict:
 
     global _SHAPE_RE
     if _SHAPE_RE is None:
-        _SHAPE_RE = re.compile(r"(f64|f32|bf16|f16|s64|s32|u32|s16|u16|s8|u8|pred)\[([0-9,]*)\]")
-    dsize = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "s32": 4,
-             "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1}
+        _SHAPE_RE = re.compile(
+            r"(c128|c64|f64|f32|bf16|f16|f8e4m3fn|f8e5m2|s64|u64|s32|u32"
+            r"|s16|u16|s8|u8|s4|u4|pred)\[([0-9,]*)\]")
+    dsize = {"c128": 16, "c64": 8, "f64": 8, "f32": 4, "bf16": 2, "f16": 2,
+             "f8e4m3fn": 1, "f8e5m2": 1, "s64": 8, "u64": 8, "s32": 4,
+             "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1, "s4": 1,
+             "u4": 1, "pred": 1}
 
     def shape_bytes(s: str) -> int:
         tot = 0
@@ -133,8 +137,8 @@ def _parse_hlo_bytes(hlo_text: str) -> dict:
     return out
 
 
-def summarize_trace(outdir: str, top: int = 40, hlo_bytes: dict | None = None,
-                    steps: int = 1):
+def summarize_trace(outdir: str, top: int = 40,
+                    hlo_bytes: dict | None = None):
     paths = glob.glob(os.path.join(outdir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
@@ -209,8 +213,15 @@ def main():
     args = ap.parse_args()
 
     if args.summarize_only:
+        if args.traffic:
+            ap.error("--traffic needs the step's HLO; it cannot be "
+                     "combined with --summarize-only (re-run without "
+                     "--summarize-only to recapture with GB/s columns)")
         summarize_trace(args.outdir, args.top)
         return
+    if args.traffic and args.no_trace:
+        ap.error("--traffic joins HLO bytes with a profiler trace; "
+                 "drop --no-trace")
 
     if not args.fp32:
         from mcgm_tpu.ops.layers import set_compute_dtype
@@ -239,8 +250,7 @@ def main():
         for _ in range(args.steps):
             ts, m = step(ts, batch)
         jax.block_until_ready(m)
-    summarize_trace(args.outdir, args.top, hlo_bytes=hlo_bytes,
-                    steps=args.steps)
+    summarize_trace(args.outdir, args.top, hlo_bytes=hlo_bytes)
 
 
 if __name__ == "__main__":
