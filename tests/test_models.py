@@ -131,3 +131,33 @@ def test_mc_vs_c_param_structure():
                                 _batch(cfg, "cvae"), train=True)
     assert "codebook" not in v_c
     assert "embedding" in v_c["params"]["encoder"]
+
+
+def test_128px_vqvae_code_grid_and_pixelcnn_chain():
+    """The 128px vqvae config (reference utils.py:130-133: 4-entry
+    hidden list -> 4 stride-2 stages) must land on the 8x8 code grid the
+    reference's high-res protocol implies, decode back to 128px, and feed
+    a PixelCNN over the 32x32 grid (data_shape//4) — completing the
+    128px-protocol coverage matrix (vae/glow/gan are pinned above)."""
+    from mcgm_tpu.models.pixelcnn import MCPixelCNN
+    from mcgm_tpu.models.vqvae import VQVAE
+
+    img = jnp.zeros((1, 128, 128, 3))
+    m = VQVAE((128, 128, 3), (4, 4, 4, 4), 1, 8, 32)
+    v = m.init({"params": K}, {"img": img}, train=True)
+    (_, _, code), _ = m.apply(v, img, train=True, method="encode",
+                              mutable=["batch_stats", "vq_stats"])
+    assert code.shape == (1, 8, 8)
+    dec, _ = m.apply(v, code, train=True, method="decode_code",
+                     mutable=["batch_stats"])
+    assert dec.shape == (1, 128, 128, 3)
+
+    # pixelcnn over the 128px protocol's 32x32 grid (data_shape[0] // 4)
+    grid = jnp.zeros((1, 32, 32), jnp.int32)
+    p = MCPixelCNN(input_size=32, hidden_size=8, num_layer=2, num_mode=4,
+                   controller_rate=0.5)
+    vp = p.init({"params": K}, {"img": grid, "label": jnp.zeros((1,), jnp.int32)},
+                train=True)
+    out, _ = p.apply(vp, {"img": grid, "label": jnp.zeros((1,), jnp.int32)},
+                     train=True, mutable=["batch_stats"])
+    assert out["logits"].shape == (1, 32, 32, 32)
