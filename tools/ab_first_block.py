@@ -22,7 +22,7 @@ slice shapes, forcing 128-lane padding on the 27-deep im2col = 4.7x waste)
 so the whole-sample phase im2col rides a plain BlockSpec into VMEM
 (4.1 MiB) and the kernel loops over row tiles internally.
 
-Usage: python tools/ab_first_block.py [--bblock 2] [--reps 20]
+Usage: python tools/ab_first_block.py [--accum] [--reps 20]
 """
 
 from __future__ import annotations
@@ -187,7 +187,7 @@ def pallas_block(x, w1, code, w2, w3, bblock=2, accum=False):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--bblock", type=int, default=2)
+    ap.add_argument("--bblock", type=int, default=1)  # 2 exceeds the 16M scoped-vmem limit
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--accum", action="store_true",
                     help="conv2 via 16 accumulated K=64 matmuls instead of "
