@@ -32,10 +32,12 @@ def main(argv=None, **defaults):
     pre.add_argument("--batch", dest="export_batch",
                      default=defaults.pop("export_batch", "b"))
     pre.add_argument("--quantize", default=defaults.pop("quantize", None),
-                     choices=(None, "int8"),
-                     help="int8: post-training-quantized serving artifact "
-                          "(per-channel int8 weights, dynamic activation "
-                          "scales; gan/vae)")
+                     choices=(None, "int8", "int8_static"),
+                     help="post-training-quantized serving artifact "
+                          "(per-channel int8 weights; gan/vae). int8 = "
+                          "dynamic activation scales; int8_static = "
+                          "calibrated per-layer scales (faster, runs a "
+                          "4-batch generate calibration first)")
     own, rest = pre.parse_known_args(
         sys.argv[1:] if argv is None else argv)
     cfg = parse_cfg(rest, **defaults)
@@ -54,9 +56,16 @@ def main(argv=None, **defaults):
         tag = make_model_tag(cfg, seed)
         print(f"Export: {tag}")
         sampler = load_sampler(cfg, tag)
+        if own.quantize == "int8_static":
+            import jax
+
+            from ..io.export import calibrate_int8
+
+            sampler = calibrate_int8(sampler, jax.random.PRNGKey(seed))
         blob = export_sampler(sampler, batch=batch, platforms=platforms,
                               quantize=own.quantize)
-        suffix = ".int8.stablehlo" if own.quantize == "int8" else ".stablehlo"
+        suffix = {None: ".stablehlo", "int8": ".int8.stablehlo",
+                  "int8_static": ".int8s.stablehlo"}[own.quantize]
         path = os.path.join(cfg["output_dir"], "export", f"{tag}{suffix}")
         save_artifact(blob, path)
         print(f"wrote {path} ({len(blob) / 1e6:.1f} MB)")

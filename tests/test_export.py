@@ -158,7 +158,7 @@ def test_int8_flag_restored_after_export():
 
     s = _sampler("mcvae")
     export_sampler(s, batch=2, quantize="int8")
-    assert _INT8_SERVING[0] is False
+    assert not _INT8_SERVING[0]
 
 
 def test_export_created_modes_artifact():
@@ -203,3 +203,44 @@ def test_export_int8_batch_invariant():
     err = np.abs(alone - cobatched)
     assert err.mean() < 2e-3, err.mean()
     assert err.max() < 0.05, err.max()
+
+
+def test_export_int8_static_calibrated():
+    """int8_static: calibrated per-layer activation scales baked into the
+    artifact. The artifact must (a) track f32 closely, (b) be EXACTLY
+    batch-composition invariant (no cross-batch reduces remain in the
+    quantized graph), (c) reproduce the live static-mode
+    apply, and (d) refuse to export without calibration."""
+    import pytest
+
+    from mcgm_tpu.io.export import calibrate_int8
+    from mcgm_tpu.ops.layers import int8_serving
+
+    s = _sampler("mcgan")
+    with pytest.raises(ValueError, match="calibrate_int8"):
+        export_sampler(s, batch="b", quantize="int8_static")
+
+    s2 = calibrate_int8(s, jax.random.PRNGKey(5), n_batches=2,
+                        batch_size=16)
+    assert "quant_stats" in s2.variables
+    blob = export_sampler(s2, batch="b", quantize="int8_static")
+    fn = load_serving_fn(blob)
+    B = 4
+    C = jnp.arange(B, dtype=jnp.int32) % 10
+    z = jax.random.normal(jax.random.PRNGKey(6), (B, s.model.latent_size))
+    got = np.asarray(fn(C, z))
+    want_f32 = np.asarray(s.model.apply(s.variables, C, z, method="generate"))
+    assert np.isfinite(got).all()
+    assert np.mean(np.abs(got - want_f32)) < 0.1, \
+        np.mean(np.abs(got - want_f32))
+    with int8_serving("static"):
+        want_q = np.asarray(
+            s2.model.apply(s2.variables, C, z, method="generate"))
+    np.testing.assert_allclose(got, want_q, atol=1e-6)
+    # batch invariance: scales are baked constants, so nothing cross-batch
+    # remains in the quantized graph; the residual 1e-7-scale noise is the
+    # backend's per-shape conv lowering (CPU int8 convs route through float
+    # paths at tiny shapes), not data dependence — a shared per-tensor scale
+    # would be off by ~1e-1 here
+    alone = np.asarray(fn(C[:1], z[:1]))
+    np.testing.assert_allclose(alone, got[:1], atol=1e-6)

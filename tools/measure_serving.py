@@ -113,17 +113,23 @@ def main():
                             (B, sampler.model.latent_size))
           for i in range(9)]
 
+    from mcgm_tpu.io.export import calibrate_int8
+
     blob_bf16 = export_sampler(sampler, batch="b")
     blob_int8 = export_sampler(sampler, batch="b", quantize="int8")
+    cal = calibrate_int8(sampler, jax.random.PRNGKey(7))
+    blob_int8s = export_sampler(cal, batch="b", quantize="int8_static")
     fn_bf16 = load_serving_fn(blob_bf16)
     fn_int8 = load_serving_fn(blob_int8)
+    fn_int8s = load_serving_fn(blob_int8s)
     live = jax.jit(lambda C, z: sampler.model.apply(
         sampler.variables, C, z, method="generate"))
 
     rows = {}
     for name, fn in (("live_bf16_jit", live),
                      ("artifact_bf16", fn_bf16),
-                     ("artifact_int8", fn_int8)):
+                     ("artifact_int8", fn_int8),
+                     ("artifact_int8_static", fn_int8s)):
         dt = time_fn(fn, C, zs, reps=args.reps)
         rows[name] = {"ms_per_batch": round(dt * 1e3, 3),
                       "samples_per_sec": round(B / dt)}
@@ -154,7 +160,8 @@ def main():
         n = cfg["classes_size"] * args.per_mode
         Cs = np.tile(np.arange(cfg["classes_size"]), args.per_mode)
         rng = jax.random.PRNGKey(2)
-        for name, fn in (("bf16", fn_bf16), ("int8", fn_int8)):
+        for name, fn in (("bf16", fn_bf16), ("int8", fn_int8),
+                         ("int8_static", fn_int8s)):
             feats, probs = [], []
             for i in range(0, n, B):
                 Ci = jnp.asarray(Cs[i:i + B], jnp.int32)
