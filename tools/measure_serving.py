@@ -66,17 +66,27 @@ def build_sampler(args):
     return Sampler(cfg, model, v), cfg, None
 
 
-def time_fn(fn, C, zs, reps=30):
+def time_fn(fn, C, zs, reps=30, loops=5):
     """Pipelined throughput with FRESH z per rep (byte-identical repeated
     inputs measured impossibly fast through the tunnel — above hardware
-    peak — so inputs must vary), one block at the end."""
+    peak — so inputs must vary), one block at the end of each loop.
+
+    Best-of-``loops``: the tunnel adds multi-ms noise bursts that once
+    inflated a 2.5 ms/batch leg to 7.4 ms in a committed artifact (round-3
+    pyramid-arch A/B); the minimum over several independent rep-loops is
+    the honest device+dispatch cost, and the spread is printed so a noisy
+    session is visible in the artifact instead of masquerading as a
+    regression."""
     out = fn(C, zs[0])
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(reps):
-        out = fn(C, zs[1 + (i % (len(zs) - 1))])
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    times = []
+    for _ in range(loops):
+        t0 = time.perf_counter()
+        for i in range(reps):
+            out = fn(C, zs[1 + (i % (len(zs) - 1))])
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / reps)
+    return min(times), max(times)
 
 
 def main():
@@ -130,10 +140,12 @@ def main():
                      ("artifact_bf16", fn_bf16),
                      ("artifact_int8", fn_int8),
                      ("artifact_int8_static", fn_int8s)):
-        dt = time_fn(fn, C, zs, reps=args.reps)
+        dt, dt_max = time_fn(fn, C, zs, reps=args.reps)
         rows[name] = {"ms_per_batch": round(dt * 1e3, 3),
+                      "ms_per_batch_worst_loop": round(dt_max * 1e3, 3),
                       "samples_per_sec": round(B / dt)}
         print(f"{name:>14}: {dt*1e3:7.2f} ms/batch "
+              f"(worst loop {dt_max*1e3:.2f}) "
               f"({B/dt:,.0f} samples/s)  batch {B}")
     rows["artifact_bytes"] = {"bf16": len(blob_bf16), "int8": len(blob_int8)}
     rows["model"] = {
