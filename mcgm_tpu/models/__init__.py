@@ -53,7 +53,9 @@ def build_model(cfg: dict, model_name: str | None = None):
                       scan_flows=p.get("scan_flows", True),
                       scan_unroll=p.get("scan_unroll", 1),
                       remat_flows=p.get("remat_flows", True),
-                      scan_chunk=p.get("scan_chunk", 1))
+                      scan_chunk=p.get("scan_chunk", 1),
+                      pipe_axis=p.get("pipe_axis"),
+                      pipe_microbatches=p.get("pipe_microbatches", 0))
     if name == "cglow":
         p = cfg["glow"]
         return CGlow(shape, p["hidden_size"], p["K"], p["L"], p["affine"],
@@ -61,7 +63,9 @@ def build_model(cfg: dict, model_name: str | None = None):
                      scan_flows=p.get("scan_flows", True),
                      scan_unroll=p.get("scan_unroll", 1),
                      remat_flows=p.get("remat_flows", True),
-                     scan_chunk=p.get("scan_chunk", 1))
+                     scan_chunk=p.get("scan_chunk", 1),
+                     pipe_axis=p.get("pipe_axis"),
+                     pipe_microbatches=p.get("pipe_microbatches", 0))
     if name == "mcpixelcnn":
         p = cfg["pixelcnn"]
         return MCPixelCNN(p["num_embedding"], p["hidden_size"], p["num_layer"],

@@ -446,9 +446,19 @@ class Block(nn.Module):
     scan_chunk: int = 1  # flows per scan body: K/chunk scan steps, so the
     #   carry-save/param-grad DUS traffic shrinks chunk-x at trace level
     #   (what scan_unroll cannot do — see _FlowChunkBody)
+    pipe_axis: str | None = None  # pipeline-parallel execution of the flow
+    #   stack over this mesh axis (parallel/pipeline.py): each device holds
+    #   K/P consecutive flows, microbatches rotate via ppermute. Beyond the
+    #   reference (its only distribution is DataParallel, SURVEY §2.10).
+    #   Requires scan_flows; train fwd only (DDI/init/reverse stay on the
+    #   sequential scan — DDI needs full-batch stats in one place).
+    pipe_microbatches: int = 0  # 0 -> mesh pipe size
 
     def setup(self):
         sq = self.input_size * 4
+        if self.pipe_axis is not None and not self.scan_flows:
+            raise ValueError("pipe_axis requires scan_flows=True (the "
+                             "pipeline splits the nn.scan-packed flow stack)")
         if self.scan_flows:
             if self.scan_chunk > 1:
                 if self.K % self.scan_chunk:
@@ -459,6 +469,9 @@ class Block(nn.Module):
             else:
                 body_cls, length = _FlowBody, self.K
                 extra = ()
+            # Pipeline path rebuilds the UNWRAPPED body per stage slice and
+            # applies remat itself (glow.py Block._pipelined_fwd).
+            self._pipe_body = (body_cls, extra, length)
             if self.remat_flows:
                 body_cls = nn.remat(body_cls, methods=["fwd"],
                                     prevent_cse=False)
@@ -497,13 +510,46 @@ class Block(nn.Module):
             h = h + self.embedding(indicator[:, None, None, :])
         return h
 
+    def _pipelined_fwd(self, carry):
+        """Flow stack as a device pipeline (parallel/pipeline.py): the
+        nn.scan-packed per-flow parameters are split over the ``pipe`` mesh
+        axis and microbatched activations rotate via ppermute. Semantically
+        identical to the sequential scan — flows are per-sample (tested:
+        tests/test_pipeline.py)."""
+        from ..parallel import pipeline as pl
+
+        body_cls, extra, _length = self._pipe_body
+        # parent=None: a detached functional module — applied per stage
+        # slice below, never registered as a submodule (the params already
+        # live under self.flow_stack).
+        body = body_cls(self.input_size * 4, self.hidden_size, self.affine,
+                        self.conv_lu, self.num_mode, self.controller_rate,
+                        *extra, parent=None)
+
+        def body_fn(slice_vars, c):
+            (c2, _) = body.apply(slice_vars, c, None, method="fwd")
+            return c2
+
+        if self.remat_flows:
+            body_fn = jax.checkpoint(body_fn, prevent_cse=False)
+        stacked = dict(self.flow_stack.variables)
+        return pl.pipeline_scan(
+            body_fn, stacked, carry, axis=self.pipe_axis,
+            microbatches=self.pipe_microbatches or None)
+
     def __call__(self, x, indicator, ddi: bool = False):
         b = x.shape[0]
         out = squeeze2(x)
         if self.scan_flows:
-            method = self.flow_stack.ddi_fwd if ddi else self.flow_stack.fwd
-            (out, logdet, _), _ = method(
-                (out, jnp.zeros((b,), jnp.float32), indicator), None)
+            if self.pipe_axis is not None and not ddi \
+                    and not self.is_initializing():
+                out, logdet, _ = self._pipelined_fwd(
+                    (out, jnp.zeros((b,), jnp.float32), indicator))
+            else:
+                method = (self.flow_stack.ddi_fwd if ddi
+                          else self.flow_stack.fwd)
+                (out, logdet, _), _ = method(
+                    (out, jnp.zeros((b,), jnp.float32), indicator), None)
         else:
             logdet = jnp.zeros((), jnp.float32)
             for flow in self.flows:
@@ -622,6 +668,8 @@ class MCGlow(_GlowBase):
     scan_unroll: int = 1
     remat_flows: bool = True
     scan_chunk: int = 1
+    pipe_axis: str | None = None
+    pipe_microbatches: int = 0
 
     def setup(self):
         blocks = []
@@ -632,6 +680,8 @@ class MCGlow(_GlowBase):
                                 scan_flows=self.scan_flows, scan_unroll=self.scan_unroll,
                                 remat_flows=self.remat_flows,
                                 scan_chunk=self.scan_chunk,
+                                pipe_axis=self.pipe_axis,
+                                pipe_microbatches=self.pipe_microbatches,
                                 name=f"block_{i}"))
             c *= 2
         blocks.append(Block(c, self.hidden_size, self.K, False, self.affine,
@@ -639,6 +689,8 @@ class MCGlow(_GlowBase):
                             scan_flows=self.scan_flows, scan_unroll=self.scan_unroll,
                                 remat_flows=self.remat_flows,
                                 scan_chunk=self.scan_chunk,
+                                pipe_axis=self.pipe_axis,
+                                pipe_microbatches=self.pipe_microbatches,
                             name=f"block_{self.L - 1}"))
         self.blocks = blocks
 
@@ -659,6 +711,8 @@ class CGlow(_GlowBase):
     scan_unroll: int = 1
     remat_flows: bool = True
     scan_chunk: int = 1
+    pipe_axis: str | None = None
+    pipe_microbatches: int = 0
 
     def setup(self):
         blocks = []
@@ -669,6 +723,8 @@ class CGlow(_GlowBase):
                                 scan_flows=self.scan_flows, scan_unroll=self.scan_unroll,
                                 remat_flows=self.remat_flows,
                                 scan_chunk=self.scan_chunk,
+                                pipe_axis=self.pipe_axis,
+                                pipe_microbatches=self.pipe_microbatches,
                                 name=f"block_{i}"))
             c *= 2
         blocks.append(Block(c, self.hidden_size, self.K, False, self.affine,
@@ -676,5 +732,7 @@ class CGlow(_GlowBase):
                             scan_flows=self.scan_flows, scan_unroll=self.scan_unroll,
                                 remat_flows=self.remat_flows,
                                 scan_chunk=self.scan_chunk,
+                                pipe_axis=self.pipe_axis,
+                                pipe_microbatches=self.pipe_microbatches,
                             name=f"block_{self.L - 1}"))
         self.blocks = blocks
