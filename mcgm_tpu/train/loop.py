@@ -151,6 +151,20 @@ class Experiment:
             self.loaders["train_eval"] = _DL(
                 dataset["train"], cfg["batch_size"]["train"], shuffle=False,
                 seed=self.seed, pad_to_batch=True, sharding=sharding)
+        if self.mesh is not None and "pipe" in self.mesh.axis_names:
+            # pipeline-parallel flow stacks (parallel/pipeline.py): glow's
+            # nn.scan-packed flows split over the mesh's pipe axis
+            if cfg["family"] != "glow":
+                raise ValueError(
+                    "a 'pipe' mesh axis is supported for the glow family "
+                    "only (its K flows are the homogeneous stack a pipeline "
+                    f"wants); got family {cfg['family']!r}")
+            from ..parallel import set_pipeline_mesh
+
+            set_pipeline_mesh(self.mesh)
+            cfg["glow"] = dict(cfg["glow"], pipe_axis="pipe",
+                               pipe_microbatches=cfg.get("pipe_microbatches",
+                                                         0))
         self.model = build_model(cfg)
         self.rng, init_key = jax.random.split(self.rng)
         self._build_family(init_key)
@@ -192,6 +206,14 @@ class Experiment:
         policy and pin the step's output placement to match (otherwise XLA
         may return updated params replicated, undoing the sharding after one
         step). DP-only meshes and single-device runs pass through."""
+        if self.mesh is not None and "pipe" in self.mesh.axis_names:
+            from ..parallel import (shard_stacked_over_pipe, state_shardings,
+                                    with_state_shardings)
+
+            g = self.cfg["glow"]
+            stack = g["K"] // max(int(g.get("scan_chunk", 1) or 1), 1)
+            ts = shard_stacked_over_pipe(self.mesh, ts, stack_len=stack)
+            return ts, with_state_shardings(step, state_shardings(ts))
         if self.mesh is None or self.mesh.shape.get("model", 1) <= 1:
             return ts, step
         from ..parallel import shard_params, state_shardings, with_state_shardings
@@ -852,15 +874,30 @@ def run_experiments(cfg: dict, num_epochs: int | None = None, mesh=None):
     sharded per ``parallel.shard_params``.
     """
     if mesh is None and cfg.get("world_size", 1) > 1:
-        from ..parallel import make_mesh
-
         n_model = int(cfg.get("model_size", 1))
-        if n_model < 1 or cfg["world_size"] % n_model:
-            raise ValueError(
-                f"model_size ({n_model}) must divide world_size "
-                f"({cfg['world_size']})"
-            )
-        mesh = make_mesh(n_data=cfg["world_size"] // n_model, n_model=n_model)
+        n_pipe = int(cfg.get("pipe_size", 1))
+        if n_model > 1 and n_pipe > 1:
+            raise ValueError("model_size and pipe_size are mutually "
+                             "exclusive mesh layouts")
+        if n_pipe > 1:
+            from ..parallel import make_pipe_mesh
+
+            if cfg["world_size"] % n_pipe:
+                raise ValueError(
+                    f"pipe_size ({n_pipe}) must divide world_size "
+                    f"({cfg['world_size']})")
+            mesh = make_pipe_mesh(n_data=cfg["world_size"] // n_pipe,
+                                  n_pipe=n_pipe)
+        else:
+            from ..parallel import make_mesh
+
+            if n_model < 1 or cfg["world_size"] % n_model:
+                raise ValueError(
+                    f"model_size ({n_model}) must divide world_size "
+                    f"({cfg['world_size']})"
+                )
+            mesh = make_mesh(n_data=cfg["world_size"] // n_model,
+                             n_model=n_model)
     results = []
     for i in range(cfg.get("num_experiments", 1)):
         seed = cfg["init_seed"] + i

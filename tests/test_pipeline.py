@@ -185,3 +185,38 @@ def test_glow_pipelined_train_step_matches_plain(pipe_mesh, tmp_path):
                      jax.tree_util.tree_leaves(ts_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
                                    rtol=0, atol=2e-5)
+
+
+def test_experiment_runs_under_pipe_mesh(tmp_path):
+    """Production path: Experiment on a (data=4, pipe=2) mesh auto-enables
+    glow's pipelined flow stacks (train/loop.py) — DDI, training, eval, and
+    checkpointing all run, and the trained run matches a single-device run
+    at DP-equivalence tolerance."""
+    from mcgm_tpu.train.loop import Experiment
+
+    def run(mesh_arg, sub):
+        cfg = make_tiny_cfg("mcglow", tmp_dir=str(tmp_path / sub))
+        cfg["glow"].update(K=4, scan_flows=True)
+        exp = Experiment(cfg, mesh=mesh_arg)
+        exp.run()
+        return exp
+
+    single = run(None, "single")
+    pp = run(make_pipe_mesh(n_data=4, n_pipe=2), "pp")
+    set_pipeline_mesh(None)
+    la = jax.tree_util.tree_leaves(single.ts.params)
+    lb = jax.tree_util.tree_leaves(pp.ts.params)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=2e-3, rtol=5e-3)
+
+
+def test_experiment_pipe_mesh_rejects_non_glow(tmp_path):
+    from mcgm_tpu.train.loop import Experiment
+
+    cfg = make_tiny_cfg("mcvae", tmp_dir=str(tmp_path))
+    exp = Experiment(cfg, mesh=make_pipe_mesh(n_data=4, n_pipe=2))
+    with pytest.raises(ValueError, match="glow family only"):
+        exp.setup()
+    set_pipeline_mesh(None)
