@@ -105,7 +105,13 @@ class DataLoader:
                 host = {"img": img, "label": np.asarray(lab, np.int32)}
                 if self.pad_to_batch:
                     host["w"] = (np.arange(bs) < true_n).astype(np.float32)
-                batch = jax.device_put(host, self.sharding)
+                if callable(self.sharding):
+                    # per-leaf rule (spatial meshes: images split over
+                    # data AND spatial axes, vectors over data only)
+                    batch = {k: jax.device_put(v, self.sharding(v))
+                             for k, v in host.items()}
+                else:
+                    batch = jax.device_put(host, self.sharding)
                 out = {"img": normalize_images(batch["img"]),
                        "label": batch["label"], "n": true_n}
                 if self.pad_to_batch:

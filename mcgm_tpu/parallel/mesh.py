@@ -59,6 +59,17 @@ def make_spatial_mesh(n_data: int | None = None, n_spatial: int = 1,
     return Mesh(devices, axis_names=("data", "spatial"))
 
 
+def spatial_data_sharding(mesh: Mesh):
+    """Per-leaf batch sharding rule for a (data, spatial) mesh: image-like
+    leaves (ndim >= 3, NHWC) shard batch over ``data`` AND height over
+    ``spatial``; vectors (labels, masks) shard over ``data`` only. Returned
+    as a callable so the loader can place each leaf by rank (a single
+    NamedSharding cannot express the rank-dependent choice)."""
+    img_sh = NamedSharding(mesh, P("data", "spatial"))
+    vec_sh = NamedSharding(mesh, P("data"))
+    return lambda v: img_sh if getattr(v, "ndim", 0) >= 3 else vec_sh
+
+
 def shard_batch_spatial(mesh: Mesh, batch: dict) -> dict:
     """Place a host batch with batch over ``data`` and, for image-like
     leaves (ndim >= 3, NHWC), height additionally over ``spatial``."""

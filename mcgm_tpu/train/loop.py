@@ -133,9 +133,11 @@ class Experiment:
         self.cfg = cfg = process_dataset(dataset["train"], cfg)
         sharding = None
         if self.mesh is not None:
-            from ..parallel import data_sharding
+            from ..parallel import data_sharding, spatial_data_sharding
 
-            sharding = data_sharding(self.mesh)
+            sharding = (spatial_data_sharding(self.mesh)
+                        if "spatial" in self.mesh.axis_names
+                        else data_sharding(self.mesh))
         self.dataset = dataset
         self.loaders = make_data_loader(dataset, cfg, seed=self.seed,
                                         sharding=sharding)
@@ -876,10 +878,20 @@ def run_experiments(cfg: dict, num_epochs: int | None = None, mesh=None):
     if mesh is None and cfg.get("world_size", 1) > 1:
         n_model = int(cfg.get("model_size", 1))
         n_pipe = int(cfg.get("pipe_size", 1))
-        if n_model > 1 and n_pipe > 1:
-            raise ValueError("model_size and pipe_size are mutually "
-                             "exclusive mesh layouts")
-        if n_pipe > 1:
+        n_spatial = int(cfg.get("spatial_size", 1))
+        if sum(n > 1 for n in (n_model, n_pipe, n_spatial)) > 1:
+            raise ValueError("model_size, pipe_size and spatial_size are "
+                             "mutually exclusive mesh layouts")
+        if n_spatial > 1:
+            from ..parallel import make_spatial_mesh
+
+            if cfg["world_size"] % n_spatial:
+                raise ValueError(
+                    f"spatial_size ({n_spatial}) must divide world_size "
+                    f"({cfg['world_size']})")
+            mesh = make_spatial_mesh(n_data=cfg["world_size"] // n_spatial,
+                                     n_spatial=n_spatial)
+        elif n_pipe > 1:
             from ..parallel import make_pipe_mesh
 
             if cfg["world_size"] % n_pipe:

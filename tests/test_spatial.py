@@ -124,3 +124,57 @@ def test_gan_spatial_step_executes(sp_mesh):
                                        d_iter=cfg["d_iter"]))
     ts2, m = step(replicate(sp_mesh, ts), shard_batch_spatial(sp_mesh, batch))
     assert np.isfinite(float(m["Loss_D"])) and np.isfinite(float(m["Loss_G"]))
+
+
+def test_experiment_runs_under_spatial_mesh(tmp_path):
+    """Production path: Experiment on a (data=4, spatial=2) mesh shards
+    image batches over batch AND height via the loader's per-leaf rule
+    (``parallel.spatial_data_sharding``) — training, exact padded eval, and
+    checkpointing all run, and the trained run matches a single-device run
+    at DP-equivalence tolerance (pure annotation: same step bytes)."""
+    from mcgm_tpu.parallel import make_spatial_mesh
+    from mcgm_tpu.train.loop import Experiment
+
+    def run(mesh_arg, sub):
+        cfg = make_tiny_cfg("mcvae", tmp_dir=str(tmp_path / sub))
+        exp = Experiment(cfg, mesh=mesh_arg)
+        exp.run()
+        return exp
+
+    single = run(None, "single")
+    sp = run(make_spatial_mesh(n_data=4, n_spatial=2), "sp")
+    la = jax.tree_util.tree_leaves(single.ts.params)
+    lb = jax.tree_util.tree_leaves(sp.ts.params)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=2e-3, rtol=5e-3)
+
+
+def test_run_experiments_carves_spatial_mesh(monkeypatch, tmp_path):
+    """``spatial_size: 2`` in the config makes run_experiments build the
+    (data = world/spatial, spatial) mesh, exactly like model_size (tp) and
+    pipe_size (pp) carve theirs."""
+    import mcgm_tpu.train.loop as loop_mod
+
+    seen = {}
+
+    class _Capture:
+        def __init__(self, cfg, seed=0, mesh=None):
+            seen["mesh"] = mesh
+            self.tag = "capture"
+
+        def run(self, num_epochs=None):
+            return {}
+
+    monkeypatch.setattr(loop_mod, "Experiment", _Capture)
+    cfg = make_tiny_cfg("mcvae", tmp_dir=str(tmp_path))
+    cfg.update(world_size=8, spatial_size=2)
+    loop_mod.run_experiments(cfg)
+    mesh = seen["mesh"]
+    assert mesh.axis_names == ("data", "spatial")
+    assert mesh.shape["data"] == 4 and mesh.shape["spatial"] == 2
+
+    cfg.update(model_size=2)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        loop_mod.run_experiments(cfg)
