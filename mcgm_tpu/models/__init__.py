@@ -54,6 +54,7 @@ def build_model(cfg: dict, model_name: str | None = None):
                       scan_unroll=p.get("scan_unroll", 1),
                       remat_flows=p.get("remat_flows", True),
                       scan_chunk=p.get("scan_chunk", 1),
+                      reversible_flows=p.get("reversible_flows", False),
                       pipe_axis=p.get("pipe_axis"),
                       pipe_microbatches=p.get("pipe_microbatches", 0))
     if name == "cglow":
@@ -64,6 +65,7 @@ def build_model(cfg: dict, model_name: str | None = None):
                      scan_unroll=p.get("scan_unroll", 1),
                      remat_flows=p.get("remat_flows", True),
                      scan_chunk=p.get("scan_chunk", 1),
+                     reversible_flows=p.get("reversible_flows", False),
                      pipe_axis=p.get("pipe_axis"),
                      pipe_microbatches=p.get("pipe_microbatches", 0))
     if name == "mcpixelcnn":

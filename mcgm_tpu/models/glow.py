@@ -446,6 +446,11 @@ class Block(nn.Module):
     scan_chunk: int = 1  # flows per scan body: K/chunk scan steps, so the
     #   carry-save/param-grad DUS traffic shrinks chunk-x at trace level
     #   (what scan_unroll cannot do — see _FlowChunkBody)
+    reversible_flows: bool = False  # ops/reversible.py: custom-VJP scan that
+    #   reconstructs each flow's input via the inverse in the backward pass —
+    #   NO carry saves at all (grad-of-scan, even remat'd, DUS-writes every
+    #   step's carry into [K, ...] HBM buffers). Same math; grads equal at
+    #   f32 reconstruction tolerance (tests/test_glow_reversible.py)
     pipe_axis: str | None = None  # pipeline-parallel execution of the flow
     #   stack over this mesh axis (parallel/pipeline.py): each device holds
     #   K/P consecutive flows, microbatches rotate via ppermute. Beyond the
@@ -459,6 +464,15 @@ class Block(nn.Module):
         if self.pipe_axis is not None and not self.scan_flows:
             raise ValueError("pipe_axis requires scan_flows=True (the "
                              "pipeline splits the nn.scan-packed flow stack)")
+        if self.reversible_flows:
+            if not self.scan_flows or self.scan_chunk != 1:
+                raise ValueError("reversible_flows requires scan_flows=True "
+                                 "with scan_chunk=1 (it operates on the flat "
+                                 "[K, ...] flow packing)")
+            if self.pipe_axis is not None:
+                raise ValueError("reversible_flows and pipe_axis are mutually "
+                                 "exclusive (the pipeline is its own scan "
+                                 "executor)")
         if self.scan_flows:
             if self.scan_chunk > 1:
                 if self.K % self.scan_chunk:
@@ -545,6 +559,17 @@ class Block(nn.Module):
                     and not self.is_initializing():
                 out, logdet, _ = self._pipelined_fwd(
                     (out, jnp.zeros((b,), jnp.float32), indicator))
+            elif self.reversible_flows and not ddi \
+                    and not self.is_initializing():
+                from ..ops.reversible import make_reversible_stack
+
+                stacked = {coll: tree["flow"] for coll, tree
+                           in dict(self.flow_stack.variables).items()}
+                run = make_reversible_stack(
+                    (self.input_size * 4, self.hidden_size, self.num_mode,
+                     self.controller_rate, self.affine, self.conv_lu))
+                out, logdet = run(stacked, out,
+                                  jnp.zeros((b,), jnp.float32), indicator)
             else:
                 method = (self.flow_stack.ddi_fwd if ddi
                           else self.flow_stack.fwd)
@@ -668,6 +693,7 @@ class MCGlow(_GlowBase):
     scan_unroll: int = 1
     remat_flows: bool = True
     scan_chunk: int = 1
+    reversible_flows: bool = False
     pipe_axis: str | None = None
     pipe_microbatches: int = 0
 
@@ -680,6 +706,7 @@ class MCGlow(_GlowBase):
                                 scan_flows=self.scan_flows, scan_unroll=self.scan_unroll,
                                 remat_flows=self.remat_flows,
                                 scan_chunk=self.scan_chunk,
+                                reversible_flows=self.reversible_flows,
                                 pipe_axis=self.pipe_axis,
                                 pipe_microbatches=self.pipe_microbatches,
                                 name=f"block_{i}"))
@@ -689,6 +716,7 @@ class MCGlow(_GlowBase):
                             scan_flows=self.scan_flows, scan_unroll=self.scan_unroll,
                                 remat_flows=self.remat_flows,
                                 scan_chunk=self.scan_chunk,
+                                reversible_flows=self.reversible_flows,
                                 pipe_axis=self.pipe_axis,
                                 pipe_microbatches=self.pipe_microbatches,
                             name=f"block_{self.L - 1}"))
@@ -711,6 +739,7 @@ class CGlow(_GlowBase):
     scan_unroll: int = 1
     remat_flows: bool = True
     scan_chunk: int = 1
+    reversible_flows: bool = False
     pipe_axis: str | None = None
     pipe_microbatches: int = 0
 
@@ -723,6 +752,7 @@ class CGlow(_GlowBase):
                                 scan_flows=self.scan_flows, scan_unroll=self.scan_unroll,
                                 remat_flows=self.remat_flows,
                                 scan_chunk=self.scan_chunk,
+                                reversible_flows=self.reversible_flows,
                                 pipe_axis=self.pipe_axis,
                                 pipe_microbatches=self.pipe_microbatches,
                                 name=f"block_{i}"))
@@ -732,6 +762,7 @@ class CGlow(_GlowBase):
                             scan_flows=self.scan_flows, scan_unroll=self.scan_unroll,
                                 remat_flows=self.remat_flows,
                                 scan_chunk=self.scan_chunk,
+                                reversible_flows=self.reversible_flows,
                                 pipe_axis=self.pipe_axis,
                                 pipe_microbatches=self.pipe_microbatches,
                             name=f"block_{self.L - 1}"))

@@ -56,6 +56,7 @@ def build_step():
     print(f"scan_unroll={os.environ.get('GLOW_UNROLL', '1')} "
           f"remat_flows={os.environ.get('GLOW_REMAT', '1')} "
           f"scan_chunk={os.environ.get('GLOW_CHUNK', '1')} "
+          f"reversible={os.environ.get('GLOW_REV', '0')} "
           f"fp32={os.environ.get('MCGM_FP32', '0')}")
     if os.environ.get("MCGM_FP32", "0") != "1":
         from mcgm_tpu.ops.layers import set_compute_dtype
@@ -73,7 +74,8 @@ def build_step():
                  "conv_lu": True, "scan_flows": True,
                  "scan_unroll": int(os.environ.get("GLOW_UNROLL", "1")),
                  "remat_flows": os.environ.get("GLOW_REMAT", "1") == "1",
-                 "scan_chunk": int(os.environ.get("GLOW_CHUNK", "1"))},
+                 "scan_chunk": int(os.environ.get("GLOW_CHUNK", "1")),
+                 "reversible_flows": os.environ.get("GLOW_REV", "0") == "1"},
     }
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
