@@ -85,20 +85,32 @@ def main():
         rng=jax.random.PRNGKey(1),
     )
     unroll = int(os.environ.get("MCGM_UNROLL", "1"))
-    step = jax.jit(make_gan_train_step(model, g_opt, d_opt, d_iter=5,
-                                       unroll=unroll),
-                   donate_argnums=0)
+    base_step = make_gan_train_step(model, g_opt, d_opt, d_iter=5,
+                                    unroll=unroll)
+    # MCGM_K > 1: the production multi-step dispatch (train/state.py
+    # make_multi_train_step) — k steps fused into one program, amortizing
+    # per-dispatch tunnel latency exactly as cfg['steps_per_dispatch'] does.
+    k = int(os.environ.get("MCGM_K", "1"))
+    if k > 1:
+        from mcgm_tpu.train.state import make_multi_train_step
+
+        step = jax.jit(make_multi_train_step(base_step, k), donate_argnums=0)
+        batch = jax.tree_util.tree_map(
+            lambda l: jnp.broadcast_to(l, (k,) + l.shape), batch)
+    else:
+        step = jax.jit(base_step, donate_argnums=0)
+    n_disp = max(STEPS // k, 1)
     # compile + warmup (first executions may trigger a second donated-layout
     # compile and persistent-cache serialization)
     for _ in range(3):
         ts, m = step(ts, batch)
     jax.block_until_ready(m)
     t0 = time.perf_counter()
-    for _ in range(STEPS):
+    for _ in range(n_disp):
         ts, m = step(ts, batch)
     jax.block_until_ready(m)
     dt = time.perf_counter() - t0
-    images_per_sec = BATCH * STEPS / dt
+    images_per_sec = BATCH * n_disp * k / dt
     print(json.dumps({
         "metric": "mcgan_cifar10_train_images_per_sec_per_chip",
         "value": round(images_per_sec, 1),

@@ -52,6 +52,19 @@ def test_train_glow_runs_ddi(tmp_output):
     assert np.isfinite(logger.history["train/Loss"][-1])
 
 
+def test_train_glow_reversible_experiment(tmp_output):
+    """The reversible-backprop flow stack (ops/reversible.py) through the
+    full production Experiment: DDI (scan path) + custom-VJP train steps +
+    checkpointing compose."""
+    cfg = make_tiny_cfg("mcglow", tmp_dir=tmp_output, num_epochs=1)
+    cfg["num_init_batches"] = 2
+    cfg["glow"] = dict(cfg["glow"], scan_flows=True, K=2, L=2,
+                       reversible_flows=True)
+    exp = Experiment(cfg)
+    logger = exp.run()
+    assert np.isfinite(logger.history["train/Loss"][-1])
+
+
 def test_train_classifier_accuracy_improves(tmp_output):
     exp, logger = _run("classifier", tmp_output, epochs=3,
                        limit_train_batches=None, limit_eval_batches=None)
