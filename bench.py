@@ -91,6 +91,8 @@ def main():
     # make_multi_train_step) — k steps fused into one program, amortizing
     # per-dispatch tunnel latency exactly as cfg['steps_per_dispatch'] does.
     k = int(os.environ.get("MCGM_K", "1"))
+    if k < 1:
+        raise ValueError(f"MCGM_K must be >= 1, got {k}")
     if k > 1:
         from mcgm_tpu.train.state import make_multi_train_step
 

@@ -153,6 +153,12 @@ class Experiment:
             self.loaders["train_eval"] = _DL(
                 dataset["train"], cfg["batch_size"]["train"], shuffle=False,
                 seed=self.seed, pad_to_batch=True, sharding=sharding)
+        if cfg.get("reversible_flows") and cfg["family"] == "glow":
+            if self.mesh is not None and "pipe" in self.mesh.axis_names:
+                raise ValueError(
+                    "reversible_flows and pipe_size are mutually exclusive "
+                    "(the pipeline is its own flow-stack executor)")
+            cfg["glow"] = dict(cfg["glow"], reversible_flows=True)
         if self.mesh is not None and "pipe" in self.mesh.axis_names:
             # pipeline-parallel flow stacks (parallel/pipeline.py): glow's
             # nn.scan-packed flows split over the mesh's pipe axis

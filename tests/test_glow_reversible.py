@@ -107,3 +107,25 @@ def test_reversible_flag_guards():
             {"params": K, "noise": K},
             {"img": jnp.zeros((1, 16, 16, 3)), "label": jnp.zeros((1,), jnp.int32)},
             train=True)
+
+
+def test_reversible_flag_reaches_model_through_experiment():
+    """The top-level ``reversible_flows`` config key (config.yml, CLI mirror)
+    must reach the built model — Experiment merges it into cfg['glow'] after
+    process_control's rebuild (which would otherwise clobber a hand-set
+    nested key; same plumbing as pipe_size/spatial_size)."""
+    from conftest import make_tiny_cfg
+    from mcgm_tpu.train.loop import Experiment
+
+    cfg = make_tiny_cfg("mcglow", tmp_dir="/tmp/mcgm_rev_cfg")
+    cfg["glow"] = dict(cfg["glow"], scan_flows=True, K=2, L=2)
+    cfg["reversible_flows"] = True
+    exp = Experiment(cfg)
+    exp.setup()
+    assert exp.model.reversible_flows is True
+    # and the default stays off
+    cfg2 = make_tiny_cfg("mcglow", tmp_dir="/tmp/mcgm_rev_cfg")
+    cfg2["glow"] = dict(cfg2["glow"], scan_flows=True, K=2, L=2)
+    exp2 = Experiment(cfg2)
+    exp2.setup()
+    assert exp2.model.reversible_flows is False

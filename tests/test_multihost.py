@@ -121,7 +121,10 @@ def test_two_process_spmd_train_step(tmp_path):
 
     import _multihost_child as child
 
+    # bind-then-close port discovery has a (tiny, single-tenant-acceptable)
+    # TOCTOU window; SO_REUSEADDR lets the coordinator rebind immediately
     with socket.socket() as s:  # free localhost port for the coordinator
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     script = os.path.join(os.path.dirname(__file__), "_multihost_child.py")
@@ -131,7 +134,13 @@ def test_two_process_spmd_train_step(tmp_path):
         [_sys.executable, script, str(i), str(port), outs[i]],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)]
-    logs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    try:
+        logs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    finally:  # a hung coordinator must not leak children onto the runner
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for p, log in zip(procs, logs):
         assert p.returncode == 0, log[-2000:]
 
