@@ -129,3 +129,35 @@ def test_reversible_flag_reaches_model_through_experiment():
     exp2 = Experiment(cfg2)
     exp2.setup()
     assert exp2.model.reversible_flows is False
+
+
+def test_reversible_dp_matches_single_device():
+    """The custom-VJP reversible scan composes with mesh data parallelism:
+    a DP8-sharded train step lands on the same loss and gradients as the
+    single-device step (the custom backward's reconstruction chain and
+    param-cotangent stacking are per-sample, so the SPMD partitioner only
+    adds the usual grad psums)."""
+    from mcgm_tpu.parallel import make_mesh, replicate, shard_batch
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    m = MCGlow((16, 16, 3), hidden_size=16, K=3, L=2, num_mode=6,
+               controller_rate=0.5, scan_flows=True, reversible_flows=True)
+    img = jax.random.uniform(K, (16, 16, 16, 3), minval=-1, maxval=1)
+    lbl = jnp.arange(16) % 6
+    batch = {"img": img, "label": lbl}
+    v = m.init({"params": K, "noise": K}, batch, train=True)
+    rngs = {"noise": jax.random.PRNGKey(7)}
+
+    def loss(p, b):
+        return m.apply({**v, "params": p}, b, train=True, rngs=rngs)["loss"]
+
+    l1, g1 = jax.value_and_grad(loss)(v["params"], batch)
+    v_r = replicate(mesh, v)
+    l8, g8 = jax.jit(jax.value_and_grad(loss))(
+        v_r["params"], shard_batch(mesh, batch))
+    assert abs(float(l1) - float(l8)) < 1e-5
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6),
+        g1, g8)
