@@ -432,6 +432,30 @@ class Experiment:
         self._ddi_pending = False
 
     # ------------------------------------------------------------ run loop
+    def _install_preempt_handler(self):
+        """Cooperative preemption (cloud TPU SIGTERM grace window): flag the
+        loop to stop at the NEXT epoch boundary — the epoch's checkpoint is
+        already on disk by then, so the run resumes with ``resume_mode=1``
+        losing nothing. Mid-epoch state is never checkpointed (a partial
+        epoch would corrupt resume semantics); if the grace window expires
+        first, the atomic checkpoint writer guarantees the previous epoch's
+        file is intact. Returns a restore callback (signal handlers only
+        install from the main thread — elsewhere this is a no-op)."""
+        import signal
+
+        self._preempt_requested = False
+
+        def on_term(signum, frame):
+            self._preempt_requested = True
+            print(f"SIGTERM: finishing the current epoch, then stopping "
+                  f"({self.tag})", flush=True)
+
+        try:
+            prev = signal.signal(signal.SIGTERM, on_term)
+        except ValueError:  # non-main thread (e.g. a test harness)
+            return lambda: None
+        return lambda: signal.signal(signal.SIGTERM, prev)
+
     def run(self, num_epochs: int | None = None):
         cfg = self.cfg
         self.setup()
@@ -440,6 +464,7 @@ class Experiment:
         if self.family == "glow" and getattr(self, "_ddi_pending", False) \
                 and last_epoch == 1:
             self._run_ddi()
+        restore_handler = self._install_preempt_handler()
         try:
             for epoch in range(last_epoch, num_epochs + 1):
                 self.logger.safe(True)
@@ -455,7 +480,13 @@ class Experiment:
                     pivot = pivot_val
                 self._checkpoint(epoch, copy_to_best=improved)
                 self.logger.reset()
+                if self._preempt_requested:
+                    print(f"preempted: stopped after epoch {epoch} "
+                          f"(checkpoint on disk; resume_mode=1 continues)",
+                          flush=True)
+                    break
         finally:
+            restore_handler()
             # join (and surface failures from) the async writer even when the
             # loop raises — never leave it mid-write at interpreter exit
             self._ckpt_writer.wait()

@@ -354,3 +354,38 @@ def test_gan_eval_rejects_unsupported_metric(tmp_output):
     exp.cfg["metric_name"]["test"] = ["InceptionScore", "FID", "DBI"]
     with pytest.raises(ValueError, match="InceptionScore/FID only"):
         exp.run()
+
+
+def test_sigterm_preemption_stops_at_epoch_boundary_and_resumes(tmp_output):
+    """Cloud-TPU preemption contract: SIGTERM mid-run stops the loop at the
+    next epoch boundary (that epoch's checkpoint already written), the
+    process survives (cooperative handler, no KeyboardInterrupt-style
+    unwind), and resume_mode=1 continues to the target exactly as if
+    uninterrupted."""
+    import os
+    import signal
+
+    cfg = make_tiny_cfg("mcvae", tmp_dir=tmp_output, num_epochs=5)
+    exp = Experiment(cfg)
+    orig_test_epoch = Experiment.test_epoch
+
+    def test_epoch_and_preempt(self, epoch):
+        orig_test_epoch(self, epoch)
+        if epoch == 2:  # grace-window signal arrives mid-run
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    try:
+        Experiment.test_epoch = test_epoch_and_preempt
+        logger = exp.run()
+    finally:
+        Experiment.test_epoch = orig_test_epoch
+    assert len(logger.history["train/Loss"]) == 2  # stopped after epoch 2
+    # the handler was restored (a later SIGTERM must not be swallowed)
+    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL,
+                                                signal.default_int_handler,
+                                                signal.Handlers.SIG_DFL)
+
+    cfg2 = make_tiny_cfg("mcvae", tmp_dir=tmp_output, num_epochs=5,
+                         resume_mode=1)
+    logger2 = Experiment(cfg2).run()
+    assert len(logger2.history["train/Loss"]) == 5  # epochs 3..5 appended
