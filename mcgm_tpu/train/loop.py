@@ -303,17 +303,22 @@ class Experiment:
         else:
             self.train_step_multi = None
 
-    def _iter_dispatch_groups(self, loader, limit):
+    def _iter_dispatch_groups(self, loader, limit, skip: int = 0):
         """Yield ``(prepped_batches, ns)`` groups of up to
         ``steps_per_dispatch`` consecutive SAME-SHAPE batches. A ragged
         final batch (the single-device loader neither pads nor drops it)
         always flushes into its own group, so full-k groups are guaranteed
-        stackable. Shared by the train and eval loops."""
+        stackable. Shared by the train and eval loops. ``skip`` drops the
+        first ``skip`` batches (mid-epoch resume; ``limit`` stays an
+        absolute batch index, so skip+limit cover the same epoch suffix an
+        uninterrupted run would execute)."""
         k = getattr(self, "_steps_per_dispatch", 1)
         g, ns = [], []
         for i, batch in enumerate(loader):
             if limit and i >= limit:
                 break
+            if i < skip:
+                continue
             n = batch["n"]
             b = self._prep_batch(batch)
             if g and any(b[key].shape != g[0][key].shape for key in b):
@@ -465,10 +470,12 @@ class Experiment:
                 and last_epoch == 1:
             self._run_ddi()
         restore_handler = self._install_preempt_handler()
+        start_step = getattr(self, "_resume_step", 0)
         try:
             for epoch in range(last_epoch, num_epochs + 1):
                 self.logger.safe(True)
-                self.train_epoch(epoch)
+                self.train_epoch(epoch, start_step=start_step)
+                start_step = 0
                 self.test_epoch(epoch)
                 pivot_val = self.logger.mean.get(f"test/{cfg['pivot_metric']}")
                 self._scheduler_step(pivot_val)
@@ -519,7 +526,7 @@ class Experiment:
                               opt_state=set_learning_rate(self.ts.opt_state, lr))
 
     # --------------------------------------------------------------- epochs
-    def train_epoch(self, epoch: int):
+    def train_epoch(self, epoch: int, start_step: int = 0):
         cfg = self.cfg
         loader = self.loaders["train"]
         loader.set_epoch(epoch)
@@ -550,9 +557,16 @@ class Experiment:
         seen = 0
         k = getattr(self, "_steps_per_dispatch", 1)
         prof_done = False
+        # mid-epoch checkpoint cadence (cloud-preemption granularity for
+        # long epochs; 0 = epoch boundaries only). The loader order is a
+        # pure function of (seed, epoch), so resuming at ``start_step``
+        # replays exactly the suffix an uninterrupted run would execute.
+        every = int(cfg.get("save_every_steps", 0) or 0)
+        last_saved = start_step
         try:
-            i = -1
-            for prepped, ns in self._iter_dispatch_groups(loader, limit):
+            i = start_step - 1
+            for prepped, ns in self._iter_dispatch_groups(
+                    loader, limit, skip=start_step):
                 start = i + 1
                 multi = len(prepped) == k and self.train_step_multi is not None
                 # tracing never starts INSIDE a fused dispatch: multi groups
@@ -592,9 +606,15 @@ class Experiment:
                     prof_done = True
                 # log when a multiple of log_every falls inside this group
                 # (exactly the old per-step `i % log_every == 0` for k=1)
-                if start == 0 or (start - 1) // log_every != i // log_every:
+                if every and i + 1 - last_saved >= every and i + 1 < n_batches:
+                    # buffered device metrics must land in the logger BEFORE
+                    # it is snapshotted into the checkpoint
                     flush()
-                    bt = (time.time() - t0) / (i + 1)
+                    self._checkpoint(epoch, mid_step=i + 1)
+                    last_saved = i + 1
+                if start == start_step or (start - 1) // log_every != i // log_every:
+                    flush()
+                    bt = (time.time() - t0) / max(i + 1 - start_step, 1)
                     eta = datetime.timedelta(
                         seconds=round(bt * (n_batches - i - 1)))
                     lr = (self.scheduler["generator"].lr
@@ -781,7 +801,8 @@ class Experiment:
                 self.ts.state)
         return merge_variables(self.ts.params, self.ts.state)
 
-    def _checkpoint(self, epoch: int, copy_to_best: bool = False):
+    def _checkpoint(self, epoch: int, copy_to_best: bool = False,
+                    mid_step: int | None = None):
         cfg = self.cfg
         if self.family == "gan":
             opt = {"generator": self.ts.g_opt_state,
@@ -792,7 +813,9 @@ class Experiment:
             sched = self.scheduler.state_dict()
         payload = {
             "cfg": {k: v for k, v in cfg.items() if k != "z"},
-            "epoch": epoch + 1,
+            # epoch-boundary checkpoints store the NEXT epoch to run;
+            # mid-epoch ones store the CURRENT (unfinished) epoch + step
+            "epoch": epoch if mid_step else epoch + 1,
             "model_dict": self._model_variables(),
             "optimizer_dict": opt,
             "scheduler_dict": sched,
@@ -801,6 +824,8 @@ class Experiment:
             "logger": copy.deepcopy(self.logger),
             "rng": np.asarray(self.ts.rng),
         }
+        if mid_step:
+            payload["mid_epoch_step"] = int(mid_step)
         # fetch+pickle+write (tens to hundreds of MB) overlaps the next
         # epoch's dispatched steps — jax arrays are immutable, so the
         # writer sees exactly this epoch's values
@@ -828,18 +853,27 @@ class Experiment:
             self.logger = ckpt["logger"]
             # current run's sink choice wins over the checkpointed one
             self.logger.backend = cfg.get("log_backend", "jsonl")
-            # the checkpoint pickles the logger BEFORE the epoch-end reset
-            # (reference train_vae.py:83-94 has the same ordering), so the
-            # restored running means still hold the checkpoint epoch's
-            # values; without this reset the first resumed epoch's logged
-            # metrics are a blend of old and new (found by the round-3
-            # crash/resume equality run — history kept, means cleared)
-            self.logger.reset()
+            self._resume_step = int(ckpt.get("mid_epoch_step", 0) or 0)
+            if self._resume_step:
+                # mid-epoch checkpoint: the pickled running means hold the
+                # PARTIAL epoch so far — they must survive so the resumed
+                # epoch's logged means equal an uninterrupted run's
+                print(f"Resume from epoch {ckpt['epoch']} "
+                      f"step {self._resume_step}")
+            else:
+                # the checkpoint pickles the logger BEFORE the epoch-end
+                # reset (reference train_vae.py:83-94 has the same
+                # ordering), so the restored running means still hold the
+                # checkpoint epoch's values; without this reset the first
+                # resumed epoch's logged metrics are a blend of old and new
+                # (found by the round-3 crash/resume equality run —
+                # history kept, means cleared)
+                self.logger.reset()
+                print(f"Resume from {ckpt['epoch']}")
             key = f"test/{cfg['pivot_metric']}"
             hist = self.logger.history.get(key, [])
             if hist:
                 pivot = (max(hist) if cfg.get("pivot_mode") == "max" else min(hist))
-            print(f"Resume from {ckpt['epoch']}")
             return ckpt["epoch"], pivot
         # mode 2: warm start weights only
         self.logger = fresh_logger

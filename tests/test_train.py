@@ -389,3 +389,67 @@ def test_sigterm_preemption_stops_at_epoch_boundary_and_resumes(tmp_output):
                          resume_mode=1)
     logger2 = Experiment(cfg2).run()
     assert len(logger2.history["train/Loss"]) == 5  # epochs 3..5 appended
+
+
+def test_mid_epoch_checkpoint_resume_bit_equal(tmp_output):
+    """save_every_steps>0 + a crash between mid-epoch checkpoints: resuming
+    with resume_mode=1 re-enters the unfinished epoch at the saved step and
+    lands on EXACTLY the uninterrupted run's final params and logged
+    history (deterministic loader order per (seed, epoch), checkpointed
+    train rng and partial logger means)."""
+    import jax
+
+    # uninterrupted reference
+    cfg_a = make_tiny_cfg("mcvae", tmp_dir=tmp_output + "/a", num_epochs=2,
+                          save_every_steps=2, steps_per_dispatch=1)
+    logger_a = Experiment(cfg_a).run()
+
+    # crashed run: die right after the mid-epoch checkpoint of epoch 2
+    class Crash(RuntimeError):
+        pass
+
+    cfg_b = make_tiny_cfg("mcvae", tmp_dir=tmp_output + "/b", num_epochs=2,
+                          save_every_steps=2, steps_per_dispatch=1)
+    exp_b = Experiment(cfg_b)
+    orig = Experiment._checkpoint
+
+    def crashing(self, epoch, copy_to_best=False, mid_step=None):
+        orig(self, epoch, copy_to_best=copy_to_best, mid_step=mid_step)
+        if epoch == 2 and mid_step:
+            raise Crash()
+
+    try:
+        Experiment._checkpoint = crashing
+        with pytest.raises(Crash):
+            exp_b.run()
+    finally:
+        Experiment._checkpoint = orig
+
+    cfg_b2 = make_tiny_cfg("mcvae", tmp_dir=tmp_output + "/b", num_epochs=2,
+                           save_every_steps=2, steps_per_dispatch=1,
+                           resume_mode=1)
+    exp_b2 = Experiment(cfg_b2)
+    logger_b = exp_b2.run()
+
+    # logged history identical (incl. the resumed epoch's blended means)
+    for k in logger_a.history:
+        if k.endswith("info"):
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(logger_a.history[k]), np.asarray(logger_b.history[k]),
+            err_msg=k)
+    # final model/opt state bit-equal
+    from mcgm_tpu.io.checkpoint import load_checkpoint
+
+    ck_a = load_checkpoint(cfg_a, Experiment(cfg_a).tag, "checkpoint")
+    ck_b = load_checkpoint(cfg_b2, exp_b2.tag, "checkpoint")
+    assert ck_a["epoch"] == ck_b["epoch"] == 3
+    assert "mid_epoch_step" not in ck_b
+    la = jax.tree_util.tree_leaves_with_path(ck_a["model_dict"])
+    lb = {jax.tree_util.keystr(p): v for p, v
+          in jax.tree_util.tree_leaves_with_path(ck_b["model_dict"])}
+    assert len(la) == len(lb)
+    for p, va in la:
+        np.testing.assert_array_equal(np.asarray(va),
+                                      np.asarray(lb[jax.tree_util.keystr(p)]),
+                                      err_msg=jax.tree_util.keystr(p))
