@@ -476,6 +476,10 @@ class Experiment:
                 self.logger.safe(True)
                 self.train_epoch(epoch, start_step=start_step)
                 start_step = 0
+                if getattr(self, "_preempt_stop", False):
+                    # mid-epoch preemption checkpoint written by train_epoch;
+                    # the epoch is unfinished — no eval/scheduler/best here
+                    break
                 self.test_epoch(epoch)
                 pivot_val = self.logger.mean.get(f"test/{cfg['pivot_metric']}")
                 self._scheduler_step(pivot_val)
@@ -612,6 +616,18 @@ class Experiment:
                     flush()
                     self._checkpoint(epoch, mid_step=i + 1)
                     last_saved = i + 1
+                if (getattr(self, "_preempt_requested", False) and every
+                        and i + 1 < n_batches):
+                    # with mid-epoch checkpoints enabled, the grace window
+                    # only needs to cover one dispatch group: checkpoint
+                    # here and stop — resume re-enters at this exact step
+                    flush()
+                    self._checkpoint(epoch, mid_step=i + 1)
+                    self._preempt_stop = True
+                    print(f"preempted: stopped mid-epoch {epoch} at step "
+                          f"{i + 1} (checkpoint on disk; resume_mode=1 "
+                          f"continues)", flush=True)
+                    return
                 if start == start_step or (start - 1) // log_every != i // log_every:
                     flush()
                     bt = (time.time() - t0) / max(i + 1 - start_step, 1)

@@ -453,3 +453,60 @@ def test_mid_epoch_checkpoint_resume_bit_equal(tmp_output):
         np.testing.assert_array_equal(np.asarray(va),
                                       np.asarray(lb[jax.tree_util.keystr(p)]),
                                       err_msg=jax.tree_util.keystr(p))
+
+
+def test_sigterm_mid_epoch_with_step_checkpoints_resumes_bit_equal(tmp_output):
+    """With save_every_steps on, SIGTERM stops INSIDE the epoch at the next
+    dispatch-group boundary (one-group grace window), writing a mid-epoch
+    checkpoint; resume_mode=1 re-enters at that exact step and the final
+    state equals an uninterrupted run bit-for-bit."""
+    import os
+    import signal
+
+    import jax
+
+    kw = dict(num_epochs=2, save_every_steps=1, steps_per_dispatch=1)
+    cfg_a = make_tiny_cfg("mcvae", tmp_dir=tmp_output + "/a", **kw)
+    logger_a = Experiment(cfg_a).run()
+
+    cfg_b = make_tiny_cfg("mcvae", tmp_dir=tmp_output + "/b", **kw)
+    exp_b = Experiment(cfg_b)
+    orig_prep = Experiment._prep_batch
+    calls = {"n": 0}
+
+    def prep_and_signal(self, batch):
+        calls["n"] += 1
+        if calls["n"] == 6:  # mid-epoch-2 (epoch 1 consumed 4 batches)
+            os.kill(os.getpid(), signal.SIGTERM)
+        return orig_prep(self, batch)
+
+    try:
+        Experiment._prep_batch = prep_and_signal
+        logger_mid = exp_b.run()
+    finally:
+        Experiment._prep_batch = orig_prep
+    # stopped mid-epoch 2: only epoch 1 is in history
+    assert len(logger_mid.history["train/Loss"]) == 1
+
+    cfg_b2 = make_tiny_cfg("mcvae", tmp_dir=tmp_output + "/b", resume_mode=1,
+                           **kw)
+    exp_b2 = Experiment(cfg_b2)
+    logger_b = exp_b2.run()
+    for k in logger_a.history:
+        if k.endswith("info"):
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(logger_a.history[k]), np.asarray(logger_b.history[k]),
+            err_msg=k)
+    from mcgm_tpu.io.checkpoint import load_checkpoint
+
+    ck_a = load_checkpoint(cfg_a, Experiment(cfg_a).tag, "checkpoint")
+    ck_b = load_checkpoint(cfg_b2, exp_b2.tag, "checkpoint")
+    assert ck_a["epoch"] == ck_b["epoch"] == 3
+    la = jax.tree_util.tree_leaves_with_path(ck_a["model_dict"])
+    lb = {jax.tree_util.keystr(p): v for p, v
+          in jax.tree_util.tree_leaves_with_path(ck_b["model_dict"])}
+    for p, va in la:
+        np.testing.assert_array_equal(np.asarray(va),
+                                      np.asarray(lb[jax.tree_util.keystr(p)]),
+                                      err_msg=jax.tree_util.keystr(p))
