@@ -510,3 +510,60 @@ def test_sigterm_mid_epoch_with_step_checkpoints_resumes_bit_equal(tmp_output):
         np.testing.assert_array_equal(np.asarray(va),
                                       np.asarray(lb[jax.tree_util.keystr(p)]),
                                       err_msg=jax.tree_util.keystr(p))
+
+
+def test_mid_epoch_resume_gan_family_bit_equal(tmp_output):
+    """Step-level resume for the sharpest stateful family: the fused 5:1 GAN
+    step carries dual optimizer states, spectral-norm power-iteration state,
+    and BN batch stats — a crash after a mid-epoch checkpoint must still
+    resume to the uninterrupted run's exact final state."""
+    import jax
+
+    kw = dict(num_epochs=2, save_every_steps=2, steps_per_dispatch=1,
+              d_iter=2)
+    cfg_a = make_tiny_cfg("mcgan", tmp_dir=tmp_output + "/a", **kw)
+    logger_a = Experiment(cfg_a).run()
+
+    class Crash(RuntimeError):
+        pass
+
+    cfg_b = make_tiny_cfg("mcgan", tmp_dir=tmp_output + "/b", **kw)
+    exp_b = Experiment(cfg_b)
+    orig = Experiment._checkpoint
+
+    def crashing(self, epoch, copy_to_best=False, mid_step=None):
+        orig(self, epoch, copy_to_best=copy_to_best, mid_step=mid_step)
+        if epoch == 2 and mid_step:
+            raise Crash()
+
+    try:
+        Experiment._checkpoint = crashing
+        with pytest.raises(Crash):
+            exp_b.run()
+    finally:
+        Experiment._checkpoint = orig
+
+    cfg_b2 = make_tiny_cfg("mcgan", tmp_dir=tmp_output + "/b", resume_mode=1,
+                           **kw)
+    exp_b2 = Experiment(cfg_b2)
+    logger_b = exp_b2.run()
+    for k in logger_a.history:
+        if k.endswith("info"):
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(logger_a.history[k]), np.asarray(logger_b.history[k]),
+            err_msg=k)
+    from mcgm_tpu.io.checkpoint import load_checkpoint
+
+    ck_a = load_checkpoint(cfg_a, Experiment(cfg_a).tag, "checkpoint")
+    ck_b = load_checkpoint(cfg_b2, exp_b2.tag, "checkpoint")
+    assert ck_a["epoch"] == ck_b["epoch"] == 3
+    for part in ("model_dict", "optimizer_dict"):
+        la = jax.tree_util.tree_leaves_with_path(ck_a[part])
+        lb = {jax.tree_util.keystr(p): v for p, v
+              in jax.tree_util.tree_leaves_with_path(ck_b[part])}
+        assert len(la) == len(lb)
+        for p, va in la:
+            np.testing.assert_array_equal(
+                np.asarray(va), np.asarray(lb[jax.tree_util.keystr(p)]),
+                err_msg=f"{part}{jax.tree_util.keystr(p)}")
