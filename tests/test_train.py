@@ -567,3 +567,63 @@ def test_mid_epoch_resume_gan_family_bit_equal(tmp_output):
             np.testing.assert_array_equal(
                 np.asarray(va), np.asarray(lb[jax.tree_util.keystr(p)]),
                 err_msg=f"{part}{jax.tree_util.keystr(p)}")
+
+
+@pytest.mark.parametrize("model_name,extra", [
+    ("mcglow", {"num_init_batches": 2}),  # DDI must not re-run on resume
+    ("vqvae", {}),                        # VQ-EMA state rides model_dict
+])
+def test_mid_epoch_resume_stateful_families_bit_equal(tmp_output, model_name,
+                                                      extra):
+    """Step-level resume across the remaining stateful families: glow
+    (data-dependent ActNorm init + noise rng chain) and vqvae (EMA codebook
+    state) resume from a mid-epoch checkpoint to the uninterrupted run's
+    exact final state."""
+    import jax
+
+    kw = dict(num_epochs=2, save_every_steps=2, steps_per_dispatch=1, **extra)
+    if model_name == "mcglow":
+        kw["glow"] = {"hidden_size": 16, "K": 2, "L": 2, "affine": True,
+                      "conv_lu": True, "scan_flows": False}
+    cfg_a = make_tiny_cfg(model_name, tmp_dir=tmp_output + "/a", **kw)
+    logger_a = Experiment(cfg_a).run()
+
+    class Crash(RuntimeError):
+        pass
+
+    cfg_b = make_tiny_cfg(model_name, tmp_dir=tmp_output + "/b", **kw)
+    exp_b = Experiment(cfg_b)
+    orig = Experiment._checkpoint
+
+    def crashing(self, epoch, copy_to_best=False, mid_step=None):
+        orig(self, epoch, copy_to_best=copy_to_best, mid_step=mid_step)
+        if epoch == 2 and mid_step:
+            raise Crash()
+
+    try:
+        Experiment._checkpoint = crashing
+        with pytest.raises(Crash):
+            exp_b.run()
+    finally:
+        Experiment._checkpoint = orig
+
+    cfg_b2 = make_tiny_cfg(model_name, tmp_dir=tmp_output + "/b",
+                           resume_mode=1, **kw)
+    exp_b2 = Experiment(cfg_b2)
+    logger_b = exp_b2.run()
+    np.testing.assert_array_equal(
+        np.asarray(logger_a.history["train/Loss"]),
+        np.asarray(logger_b.history["train/Loss"]))
+    from mcgm_tpu.io.checkpoint import load_checkpoint
+
+    ck_a = load_checkpoint(cfg_a, exp_b2.tag, "checkpoint")
+    ck_b = load_checkpoint(cfg_b2, exp_b2.tag, "checkpoint")
+    assert ck_a["epoch"] == ck_b["epoch"] == 3
+    la = jax.tree_util.tree_leaves_with_path(ck_a["model_dict"])
+    lb = {jax.tree_util.keystr(p): v for p, v
+          in jax.tree_util.tree_leaves_with_path(ck_b["model_dict"])}
+    assert len(la) == len(lb)
+    for p, va in la:
+        np.testing.assert_array_equal(
+            np.asarray(va), np.asarray(lb[jax.tree_util.keystr(p)]),
+            err_msg=jax.tree_util.keystr(p))
