@@ -84,11 +84,18 @@ class DataLoader:
         return self._dev
 
     def __iter__(self):
+        return self.iter_from(0)
+
+    def iter_from(self, start_batch: int):
+        """Iterate the epoch starting at batch index ``start_batch`` without
+        materializing the skipped batches (mid-epoch resume: the permutation
+        is known host-side, so the skip is a free slice — no device gathers
+        for work that will be discarded)."""
         order = self._order()
         self.epoch += 1
         n, bs = len(order), self.batch_size
         stop = (n // bs) * bs if self.drop_last else n
-        for start in range(0, stop, bs):
+        for start in range(start_batch * bs, stop, bs):
             idx = order[start:start + bs]
             true_n = len(idx)
             if self.pad_to_batch and true_n < bs:

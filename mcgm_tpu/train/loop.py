@@ -314,7 +314,11 @@ class Experiment:
         uninterrupted run would execute)."""
         k = getattr(self, "_steps_per_dispatch", 1)
         g, ns = [], []
-        for i, batch in enumerate(loader):
+        if skip and hasattr(loader, "iter_from"):
+            it = enumerate(loader.iter_from(skip), start=skip)
+        else:
+            it = enumerate(loader)
+        for i, batch in it:
             if limit and i >= limit:
                 break
             if i < skip:
@@ -452,8 +456,10 @@ class Experiment:
 
         def on_term(signum, frame):
             self._preempt_requested = True
-            print(f"SIGTERM: finishing the current epoch, then stopping "
-                  f"({self.tag})", flush=True)
+            where = ("at the next step checkpoint"
+                     if int(self.cfg.get("save_every_steps", 0) or 0)
+                     else "after the current epoch")
+            print(f"SIGTERM: stopping {where} ({self.tag})", flush=True)
 
         try:
             prev = signal.signal(signal.SIGTERM, on_term)
@@ -471,6 +477,8 @@ class Experiment:
             self._run_ddi()
         restore_handler = self._install_preempt_handler()
         start_step = getattr(self, "_resume_step", 0)
+        self._resume_step = 0   # consumed; a second run() starts clean
+        self._preempt_stop = False
         try:
             for epoch in range(last_epoch, num_epochs + 1):
                 self.logger.safe(True)
@@ -620,9 +628,13 @@ class Experiment:
                         and i + 1 < n_batches):
                     # with mid-epoch checkpoints enabled, the grace window
                     # only needs to cover one dispatch group: checkpoint
-                    # here and stop — resume re-enters at this exact step
-                    flush()
-                    self._checkpoint(epoch, mid_step=i + 1)
+                    # here and stop — resume re-enters at this exact step.
+                    # (Skip the write when the cadence save above already
+                    # covered this exact step — no double submit inside
+                    # the grace window.)
+                    if last_saved != i + 1:
+                        flush()
+                        self._checkpoint(epoch, mid_step=i + 1)
                     self._preempt_stop = True
                     print(f"preempted: stopped mid-epoch {epoch} at step "
                           f"{i + 1} (checkpoint on disk; resume_mode=1 "
@@ -871,6 +883,24 @@ class Experiment:
             self.logger.backend = cfg.get("log_backend", "jsonl")
             self._resume_step = int(ckpt.get("mid_epoch_step", 0) or 0)
             if self._resume_step:
+                # the saved step counts BATCHES of the checkpointed run; a
+                # different batch size / limit / world size would make the
+                # skip land on different SAMPLES (silent double-training) —
+                # refuse instead
+                old_cfg = ckpt.get("cfg", {})
+                for key in ("batch_size", "limit_train_batches",
+                            "world_size", "steps_per_dispatch"):
+                    a, b = old_cfg.get(key), cfg.get(key)
+                    if key == "batch_size":
+                        a = (a or {}).get("train")
+                        b = (b or {}).get("train")
+                    if a != b:
+                        raise ValueError(
+                            f"mid-epoch resume: {key} changed "
+                            f"({a!r} -> {b!r}) — the saved step index "
+                            f"would skip different samples. Resume with "
+                            f"the original value or restart the epoch "
+                            f"(resume_mode=2).")
                 # mid-epoch checkpoint: the pickled running means hold the
                 # PARTIAL epoch so far — they must survive so the resumed
                 # epoch's logged means equal an uninterrupted run's

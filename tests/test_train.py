@@ -476,7 +476,9 @@ def test_sigterm_mid_epoch_with_step_checkpoints_resumes_bit_equal(tmp_output):
 
     def prep_and_signal(self, batch):
         calls["n"] += 1
-        if calls["n"] == 6:  # mid-epoch-2 (epoch 1 consumed 4 batches)
+        # epoch-1 consumes 4 TRAIN preps + 3 EVAL preps (the eval loop also
+        # goes through _prep_batch); call 9 is epoch-2 train step 2
+        if calls["n"] == 9:
             os.kill(os.getpid(), signal.SIGTERM)
         return orig_prep(self, batch)
 
@@ -487,6 +489,11 @@ def test_sigterm_mid_epoch_with_step_checkpoints_resumes_bit_equal(tmp_output):
         Experiment._prep_batch = orig_prep
     # stopped mid-epoch 2: only epoch 1 is in history
     assert len(logger_mid.history["train/Loss"]) == 1
+    # and it was the MID-EPOCH preempt branch, not the epoch boundary:
+    from mcgm_tpu.io.checkpoint import load_checkpoint as _lc
+
+    ck_mid = _lc(cfg_b, exp_b.tag, "checkpoint")
+    assert ck_mid["epoch"] == 2 and ck_mid["mid_epoch_step"] == 2
 
     cfg_b2 = make_tiny_cfg("mcvae", tmp_dir=tmp_output + "/b", resume_mode=1,
                            **kw)
@@ -581,10 +588,10 @@ def test_mid_epoch_resume_stateful_families_bit_equal(tmp_output, model_name,
     exact final state."""
     import jax
 
+    # NOTE: no kw["glow"] here — make_tiny_cfg overwrites cfg["glow"]
+    # wholesale after applying overrides, so the conftest tiny glow config
+    # (K=2, L=3, unscanned) is what actually runs
     kw = dict(num_epochs=2, save_every_steps=2, steps_per_dispatch=1, **extra)
-    if model_name == "mcglow":
-        kw["glow"] = {"hidden_size": 16, "K": 2, "L": 2, "affine": True,
-                      "conv_lu": True, "scan_flows": False}
     cfg_a = make_tiny_cfg(model_name, tmp_dir=tmp_output + "/a", **kw)
     logger_a = Experiment(cfg_a).run()
 
