@@ -42,10 +42,20 @@ def main():
     p.add_argument("--num_experiments", type=int, default=1)
     p.add_argument("--world_size", type=int, default=1)
     p.add_argument("--round", type=int, default=1)
+    p.add_argument("--extra", default="",
+                   help="flags appended verbatim to every emitted command "
+                        "(e.g. --extra '--config my.yml')")
+    p.add_argument("--out_dir", default=".",
+                   help="directory for the emitted script (default: cwd, "
+                        "like the reference)")
     args = p.parse_args()
     cmds = make_commands(args.run, args.model, args.data, args.init_seeds,
                          args.num_experiments, args.world_size)
-    out = f"{args.run}_{args.model}.sh"
+    if args.extra:
+        cmds = [f"{c} {args.extra}" for c in cmds]
+    import os
+
+    out = os.path.join(args.out_dir, f"{args.run}_{args.model}.sh")
     with open(out, "w") as f:
         f.write("#!/bin/bash\n")
         for i, c in enumerate(cmds):

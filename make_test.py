@@ -15,6 +15,10 @@ def main():
     p.add_argument("--data", nargs="+", default=["CIFAR10", "COIL100", "Omniglot"])
     p.add_argument("--init_seeds", nargs="+", type=int, default=[0])
     p.add_argument("--round", type=int, default=1)
+    p.add_argument("--extra", default="",
+                   help="flags appended verbatim to every emitted command")
+    p.add_argument("--out_dir", default=".",
+                   help="directory for the emitted script (default: cwd)")
     args = p.parse_args()
     variants = {
         "vae": ["cvae", "mcvae"], "gan": ["cgan", "mcgan"],
@@ -27,7 +31,11 @@ def main():
                 f"--control_name {control} --init_seed {seed}")
         cmds.append(f"python -m mcgm_tpu.cli.test_generated generated {base}")
         cmds.append(f"python -m mcgm_tpu.cli.test_generated created {base}")
-    out = f"test_generated_{args.model}.sh"
+    if args.extra:
+        cmds = [f"{c} {args.extra}" for c in cmds]
+    import os
+
+    out = os.path.join(args.out_dir, f"test_generated_{args.model}.sh")
     with open(out, "w") as f:
         f.write("#!/bin/bash\n")
         for i, c in enumerate(cmds):

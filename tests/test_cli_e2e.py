@@ -63,9 +63,18 @@ def test_reference_cli_chain_subprocess(tmp_path):
     tag = "0_Synthetic_label_mcvae_0.5"
     common = ("--config", config, "--control_name", "0.5", "--init_seed", "0")
 
-    # 1. train (reference: python train_vae.py --data_name X --model_name
-    #    mcvae --control_name 0.5 --init_seed 0 — emitted by src/make.py)
-    _run("train_vae.py", *common)
+    # 1. train — with the command line EMITTED BY make.py (reference
+    #    workflow: src/make.py writes train_vae.sh; a user executes it)
+    _run("make.py", "--run", "train", "--model", "vae", "--data", "Synthetic",
+         "--extra", f"--config {config}", "--out_dir", str(tmp_path))
+    with open(tmp_path / "train_vae.sh") as f:
+        emitted = [l.rstrip(" &\n") for l in f
+                   if "--model_name mcvae" in l and l.startswith("python")]
+    assert len(emitted) == 1, emitted
+    cmd = emitted[0].split()[1:]  # strip the leading "python"
+    proc = subprocess.run([sys.executable, *cmd], cwd=ROOT, text=True,
+                          capture_output=True, timeout=TIMEOUT)
+    assert proc.returncode == 0, (proc.stdout[-4000:], proc.stderr[-4000:])
     assert os.path.exists(os.path.join(out, "model", f"{tag}_checkpoint.pkl")) or \
         any(f.startswith(tag) for f in os.listdir(os.path.join(out, "model"))), \
         f"no checkpoint under {out}/model: {os.listdir(os.path.join(out, 'model'))}"
