@@ -92,7 +92,12 @@ _OVERRIDES = {
 def apply_family_overrides(cfg: dict) -> dict:
     cfg = dict(cfg)
     fam = FAMILY[cfg["model_name"]]
-    cfg.update(_OVERRIDES[fam])
+    # deepcopy: the override values hold nested dicts/lists (metric_name,
+    # milestones); a shallow update would alias them into cfg, where any
+    # later in-place mutation (e.g. editing exp.cfg['metric_name']['test'])
+    # silently contaminates _OVERRIDES and every subsequent Experiment in
+    # the process — including the other seeds of a run_experiments sweep
+    cfg.update(copy.deepcopy(_OVERRIDES[fam]))
     cfg["family"] = fam
     if fam == "gan":
         # betas differ between mcgan and cgan (reference train_gan.py:33-55)

@@ -345,6 +345,19 @@ def test_train_tensorboard_backend_writes_events(tmp_output):
     assert os.path.exists(os.path.join(runs[0], "scalars.jsonl"))
 
 
+def test_family_overrides_isolated_between_experiments(tmp_output):
+    """Mutating one Experiment's cfg in place must not leak into the next:
+    apply_family_overrides deep-copies its override values (a shallow update
+    aliased metric_name into the module-global _OVERRIDES, so an edit like
+    the one below contaminated every later GAN Experiment in the process —
+    the mid-epoch resume test caught it as a phantom DBI metric)."""
+    cfg1 = make_tiny_cfg("mcgan", tmp_dir=tmp_output)
+    exp1 = Experiment(cfg1)
+    exp1.cfg["metric_name"]["test"].append("DBI")
+    exp2 = Experiment(make_tiny_cfg("mcgan", tmp_dir=tmp_output))
+    assert exp2.cfg["metric_name"]["test"] == ["InceptionScore", "FID"]
+
+
 def test_gan_eval_rejects_unsupported_metric(tmp_output):
     """The fused in-loop GAN eval scores IS/FID only (the reference's GAN
     protocol); any other configured test metric must fail fast with
