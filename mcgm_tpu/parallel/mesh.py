@@ -40,6 +40,19 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def make_seed_mesh(n_seed: int, devices=None) -> Mesh:
+    """1-D ``seed`` mesh for seed-parallel sweeps (train/seed_parallel.py):
+    the stacked [S, ...] experiment axis shards over devices, so each chip
+    trains its own S/n_seed seeds with ZERO collectives — embarrassingly
+    parallel, the direct SPMD replacement of the reference's per-seed GPU
+    job round-robin (reference make.py:27, 55-60)."""
+    devices = devices if devices is not None else jax.devices()
+    if len(devices) < n_seed:
+        raise ValueError(f"seed mesh needs {n_seed} devices, "
+                         f"have {len(devices)}")
+    return Mesh(np.asarray(devices[:n_seed]), axis_names=("seed",))
+
+
 def make_spatial_mesh(n_data: int | None = None, n_spatial: int = 1,
                       devices=None) -> Mesh:
     """(data, spatial) mesh for spatial partitioning: images shard over BOTH

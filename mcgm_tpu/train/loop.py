@@ -671,6 +671,13 @@ class Experiment:
         else:
             self._test_eval_loader(epoch)
 
+    def _next_eval_key(self):
+        """Advance the host eval rng chain and return the step key.
+        (Overridable: the seed-parallel runner carries a stacked [S, 2]
+        chain and splits it per seed.)"""
+        self.rng, key = jax.random.split(self.rng)
+        return key
+
     def _test_eval_loader(self, epoch: int):
         """Eval on the TRAIN split (reference train_vae.py:77 et al.)."""
         cfg = self.cfg
@@ -691,26 +698,38 @@ class Experiment:
                 buffered.extend(self._unstack_metrics(metrics, ns))
             else:
                 for b, n_j in zip(prepped, ns):
-                    self.rng, key = jax.random.split(self.rng)
+                    key = self._next_eval_key()
                     out = self.eval_step(self.ts.params, self.ts.state, b, key)
                     buffered.append((self.test_metrics(b, out), n_j))
             batch = prepped[-1]  # last PREPPED batch (for the show grid)
-        if cfg.get("show") and batch is not None:
-            self.rng, key = jax.random.split(self.rng)
-            out = self.eval_step(self.ts.params, self.ts.state, batch, key)
+        out = self._maybe_show(batch) if cfg.get("show") else None
         self._flush_buffered(buffered, "test")
-        if cfg.get("show") and out is not None and "img" in out:
-            from ..io.images import save_image_grid
-            from ..utils import vis_path
-
-            save_image_grid(np.asarray(batch["img"][:100]),
-                            vis_path(cfg, f"input_{self.tag}.png"))
-            save_image_grid(np.asarray(out["img"][:100]),
-                            vis_path(cfg, f"output_{self.tag}.png"))
+        if cfg.get("show") and out is not None:
+            self._save_show_grids(*out)
         info = {"info": [f"Model: {self.tag}", f"Test Epoch: {epoch}(100%)"]}
         self.logger.append(info, "test", mean=False)
         self.logger.write("test", [m for m in cfg["metric_name"]["test"]
                                    if m not in ("InceptionScore", "FID", "DBI")])
+
+    def _maybe_show(self, batch):
+        """Reconstruction grids for ``cfg['show']``: run one eval forward on
+        the last batch and return ``(input_imgs, output_imgs)`` as numpy, or
+        None when the model has no image output. (Overridable: the
+        seed-parallel runner slices seed 0 out of the stacked batch.)"""
+        if batch is None:
+            return None
+        key = self._next_eval_key()
+        out = self.eval_step(self.ts.params, self.ts.state, batch, key)
+        if "img" not in out:
+            return None
+        return np.asarray(batch["img"][:100]), np.asarray(out["img"][:100])
+
+    def _save_show_grids(self, inp, outp):
+        from ..io.images import save_image_grid
+        from ..utils import vis_path
+
+        save_image_grid(inp, vis_path(self.cfg, f"input_{self.tag}.png"))
+        save_image_grid(outp, vis_path(self.cfg, f"output_{self.tag}.png"))
 
     def _gan_eval_moments(self, variables, C, chunk, feature_fn):
         """Fused on-device eval sweep: each chunk dispatch generates,
@@ -997,6 +1016,42 @@ def run_experiments(cfg: dict, num_epochs: int | None = None, mesh=None):
     out of it: mesh shape (world_size / model_size, model_size), params
     sharded per ``parallel.shard_params``.
     """
+    n_exp = int(cfg.get("num_experiments", 1))
+    if cfg.get("seed_parallel") and n_exp > 1:
+        # all seeds as ONE vmapped run (train/seed_parallel.py) — the
+        # TPU-native replacement for the reference's shell-level per-seed
+        # job round-robin (reference make.py:27, 55-60). world_size > 1
+        # shards the SEED axis over a ("seed",) mesh: one seed group per
+        # device, zero collectives. (Handled BEFORE the generic mesh
+        # construction below — world_size means seed groups here, not DP.)
+        if mesh is not None:
+            raise ValueError(
+                "seed_parallel builds its own ('seed',) mesh from "
+                "world_size; don't pass an explicit mesh")
+        smesh = None
+        ws = int(cfg.get("world_size", 1))
+        if ws > 1:
+            if any(int(cfg.get(k, 1) or 1) > 1
+                   for k in ("model_size", "pipe_size", "spatial_size")):
+                raise ValueError(
+                    "seed_parallel composes with a plain world_size only "
+                    "(the mesh axis is 'seed'; model/pipe/spatial layouts "
+                    "are for sequential runs)")
+            if n_exp % ws:
+                raise ValueError(
+                    f"num_experiments ({n_exp}) must be divisible by "
+                    f"world_size ({ws}) under seed_parallel")
+            from ..parallel import make_seed_mesh
+
+            smesh = make_seed_mesh(ws)
+        from .seed_parallel import SeedParallelExperiment
+
+        exp = SeedParallelExperiment(
+            cfg, seeds=[cfg["init_seed"] + i for i in range(n_exp)],
+            mesh=smesh)
+        print(f"Experiment (seed-parallel x{n_exp}"
+              f"{f' over {ws} devices' if smesh else ''}): {exp.tag}")
+        return exp.run(num_epochs)
     if mesh is None and cfg.get("world_size", 1) > 1:
         n_model = int(cfg.get("model_size", 1))
         n_pipe = int(cfg.get("pipe_size", 1))
@@ -1033,7 +1088,7 @@ def run_experiments(cfg: dict, num_epochs: int | None = None, mesh=None):
             mesh = make_mesh(n_data=cfg["world_size"] // n_model,
                              n_model=n_model)
     results = []
-    for i in range(cfg.get("num_experiments", 1)):
+    for i in range(n_exp):
         seed = cfg["init_seed"] + i
         exp = Experiment(cfg, seed=seed, mesh=mesh)
         print(f"Experiment: {exp.tag}")
