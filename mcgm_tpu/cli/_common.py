@@ -21,6 +21,7 @@ Two additions over the reference surface:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import yaml
@@ -49,12 +50,24 @@ def _split_config_flag(argv):
 def configure_device(cfg: dict) -> None:
     """Honor ``cfg['device']``: 'cpu' forces the host-CPU JAX platform
     (effective when called before first backend use — parse_cfg runs at CLI
-    startup, ahead of any compute); 'tpu' keeps default resolution."""
-    device = str(cfg.get("device", "tpu")).lower()
-    if device == "cpu":
-        import jax
+    startup, ahead of any compute); 'tpu' keeps default resolution.
 
+    Also enables JAX's persistent compilation cache at
+    ``cfg['compile_cache_dir']`` (empty string disables). The reference
+    protocol launches every experiment as its own OS process (make.py's
+    emitted scripts — 12 seeds x variants per cell), so without the disk
+    cache each job pays the full XLA compile; with it, job N's compiles
+    are near-free cache loads."""
+    device = str(cfg.get("device", "tpu")).lower()
+    import jax
+
+    if device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    cache_dir = cfg.get("compile_cache_dir", "")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser(str(cache_dir)))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def parse_cfg(argv=None, **defaults) -> dict:

@@ -875,6 +875,10 @@ class Experiment:
             # thread pickles; __getstate__ already strips the file handle
             "logger": copy.deepcopy(self.logger),
             "rng": np.asarray(self.ts.rng),
+            # host eval key chain: restoring it makes eval-time *sampling*
+            # metrics bit-continuous across a resume too (the train state
+            # was always exact; this closes the one documented noise source)
+            "eval_rng": np.asarray(self.rng),
         }
         if mid_step:
             payload["mid_epoch_step"] = int(mid_step)
@@ -1005,6 +1009,8 @@ class Experiment:
         if "rng" in ckpt:
             rng = jnp.asarray(ckpt["rng"])
             self.ts = replace(self.ts, rng=rng)
+        if "eval_rng" in ckpt:  # absent in older / imported checkpoints
+            self.rng = jnp.asarray(ckpt["eval_rng"])
 
 
 def run_experiments(cfg: dict, num_epochs: int | None = None, mesh=None):

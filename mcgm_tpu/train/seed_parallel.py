@@ -42,6 +42,14 @@ profile — the big convs at 92-98% of peak), so packing seeds multiplies
 FLOPs at constant chip FLOP/s and cannot gain on one chip; run GAN seeds
 sequentially (or over a DP mesh). Checkpoints are epoch-boundary only
 (``save_every_steps == 0``).
+
+Measured single-chip sweep speedups vs sequential at the production k=8
+dispatch (docs/artifacts/seed_parallel_bench.json; DESIGN.md section):
+classifier 9.6x at S=12 (the latency-bound case the design targets),
+vae/vqvae 1.2-1.3x (their batch-128 convs already occupy the chip),
+pixelcnn ~1.05x at S<=4 and NEGATIVE at S>=8 (keep S small or run
+sequentially). vqvae S=12 triggers a pathological XLA compile (>35 min,
+the vmapped EMA scatter at non-power-of-2 S) — use power-of-2 S there.
 """
 
 from __future__ import annotations
@@ -414,6 +422,7 @@ class SeedParallelExperiment(Experiment):
                 "scheduler_dict": self.schedulers[j].state_dict(),
                 "logger": copy.deepcopy(self.loggers[j]),
                 "rng": np.asarray(ts_j.rng),
+                "eval_rng": np.asarray(self.rng[j]),
             }
             self._ckpt_writer.submit(cfg, tag, payload, copy_to_best=best[j])
 
@@ -474,6 +483,9 @@ class SeedParallelExperiment(Experiment):
                 rng=self._place(jnp.stack([jnp.asarray(c["rng"])
                                            for c in ckpts])),
             )
+            if all("eval_rng" in c for c in ckpts):
+                self.rng = jnp.stack([jnp.asarray(c["eval_rng"])
+                                      for c in ckpts])
             for sch, c in zip(self.schedulers, ckpts):
                 sch.load_state_dict(c["scheduler_dict"])
             self.loggers = [c["logger"] for c in ckpts]

@@ -57,6 +57,40 @@ def _run(script, *flags, timeout=TIMEOUT):
     return proc
 
 
+def test_make_seed_parallel_emission(tmp_path):
+    """make.py --seed_parallel collapses each cell's per-seed train jobs
+    into ONE vmapped command (train/seed_parallel.py) and leaves test jobs
+    per-seed; non-contiguous seeds and the gan family are refused."""
+    _run("make.py", "--run", "train", "--model", "vae", "--data", "Synthetic",
+         "--init_seeds", "3", "4", "5", "--seed_parallel",
+         "--out_dir", str(tmp_path))
+    with open(tmp_path / "train_vae.sh") as f:
+        cmds = [l for l in f if l.startswith("python")]
+    assert len(cmds) == 2  # one per variant (cvae, mcvae), not per seed
+    for c in cmds:
+        assert "--init_seed 3" in c and "--num_experiments 3" in c
+        assert "--seed_parallel True" in c
+    _run("make.py", "--run", "test", "--model", "vae", "--data", "Synthetic",
+         "--init_seeds", "3", "4", "5", "--seed_parallel",
+         "--out_dir", str(tmp_path))
+    with open(tmp_path / "test_vae.sh") as f:
+        cmds = [l for l in f if l.startswith("python")]
+    assert len(cmds) == 6 and not any("seed_parallel" in c for c in cmds)
+    for bad in (["--init_seeds", "0", "2"],
+                ["--model", "gan", "--init_seeds", "0", "1"]):
+        args = ["--run", "train", "--model", "vae", "--data", "Synthetic",
+                "--seed_parallel", "--out_dir", str(tmp_path)]
+        if bad[0] == "--model":
+            args = ["--run", "train", "--data", "Synthetic", *bad,
+                    "--seed_parallel", "--out_dir", str(tmp_path)]
+        else:
+            args += bad
+        proc = subprocess.run([sys.executable, os.path.join(ROOT, "make.py"),
+                               *args], cwd=ROOT, capture_output=True,
+                              text=True, timeout=60)
+        assert proc.returncode != 0, args
+
+
 def test_reference_cli_chain_subprocess(tmp_path):
     config = _write_tiny_config(tmp_path)
     out = str(tmp_path / "output")

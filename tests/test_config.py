@@ -65,6 +65,22 @@ def test_parse_cfg_overrides_and_control():
     assert cfg["control"] == {"controller_rate": "0.5"}
 
 
+def test_parse_cfg_enables_persistent_compile_cache(tmp_path):
+    """cfg['compile_cache_dir'] turns on JAX's disk compilation cache at
+    CLI startup (the reference protocol runs every experiment as its own
+    OS process; the cache makes job N's compiles near-free); empty string
+    leaves the config untouched (disable knob)."""
+    import jax
+
+    d = str(tmp_path / "cc")
+    parse_cfg(["--model_name", "cvae", "--control_name", "None",
+               "--compile_cache_dir", d])
+    assert jax.config.jax_compilation_cache_dir == d
+    parse_cfg(["--model_name", "cvae", "--control_name", "None",
+               "--compile_cache_dir", ""])
+    assert jax.config.jax_compilation_cache_dir == d  # unchanged, not reset
+
+
 def test_extended_datasets_in_control():
     for name, ch in (("EMNIST", 1), ("SVHN", 3), ("FashionMNIST", 1)):
         cfg = apply_control_name(load_config(), "0.5")

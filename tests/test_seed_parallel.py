@@ -174,6 +174,9 @@ def test_seed_parallel_resume_matches_uninterrupted(tmp_path):
         np.testing.assert_allclose(
             resumed.loggers[j].history["train/Loss"],
             full.loggers[j].history["train/Loss"], atol=1e-5, rtol=1e-5)
+    # per-seed eval key chains ride in the checkpoints (eval_rng): the
+    # resumed stacked chain equals the uninterrupted run's
+    assert np.array_equal(np.asarray(resumed.rng), np.asarray(full.rng))
 
 
 def test_seed_parallel_over_seed_mesh_matches_sequential(tmp_path):

@@ -96,6 +96,10 @@ def test_resume_mode_1_continues(tmp_output):
         a = [round(v, 5) for v in exp3.logger.history[k]]
         b = [round(v, 5) for v in exp2.logger.history[k]]
         assert a == b, (k, a, b)
+    # the host eval key chain rides in the checkpoint (payload "eval_rng"),
+    # so eval-time SAMPLING metrics are bit-continuous across a resume too:
+    # the resumed run's final chain equals the uninterrupted run's
+    assert np.array_equal(np.asarray(exp2.rng), np.asarray(exp3.rng))
 
 
 def test_resume_mode_2_warm_start(tmp_output):
