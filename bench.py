@@ -28,14 +28,45 @@ on this host, does 2.37 img/s (1 torch thread).
 from __future__ import annotations
 
 import json
+import os
+import threading
 import time
 
 import jax
 import jax.numpy as jnp
 
-# persistent compile cache: repeat bench runs skip the large first-compile
-jax.config.update("jax_compilation_cache_dir", "/tmp/mcgm_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from mcgm_tpu.compile_cache import enable_compile_cache
+
+# Persistent compile cache so repeat bench runs skip the large first-compile.
+# Fenced: under the remote-compile axon backend the cache deadlocks the
+# client (round-3 BENCH rc=124 — the bench hung forever while the identical
+# program without the cache measured 5,069 img/s), so enable_compile_cache
+# refuses there unless MCGM_COMPILE_CACHE=1 forces it.
+enable_compile_cache("/tmp/mcgm_jax_cache")
+
+# Watchdog: if setup+compile+warmup has not finished within this budget the
+# backend is wedged (tunnel hangs are a demonstrated failure mode here) —
+# print a parseable JSON line saying so and hard-exit instead of eating the
+# driver's whole timeout silently.
+WARMUP_BUDGET_SECS = float(os.environ.get("MCGM_BENCH_WATCHDOG_SECS", "480"))
+
+
+def _arm_watchdog(budget: float) -> threading.Timer:
+    def _trip():
+        print(json.dumps({
+            "metric": "mcgan_cifar10_train_images_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"watchdog: warmup exceeded {budget:.0f}s "
+                     "(wedged backend/tunnel?)",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(budget, _trip)
+    t.daemon = True
+    t.start()
+    return t
 
 # FLOPs-derived V100-fp32 upper bound for the torch reference on this exact
 # model/protocol (batch 128, 5 D-steps + 1 G-step per batch) — derivation in
@@ -48,8 +79,7 @@ STEPS = 30
 
 
 def main():
-    import os
-
+    watchdog = _arm_watchdog(WARMUP_BUDGET_SECS)
     # bf16 activations/weights with f32 master params is the TPU-native
     # training configuration (measured: 3327 img/s vs 2782 f32 on v5e).
     # Set MCGM_FP32=1 for the full-precision variant.
@@ -107,6 +137,7 @@ def main():
     for _ in range(3):
         ts, m = step(ts, batch)
     jax.block_until_ready(m)
+    watchdog.cancel()  # compile+warmup done; the timed region is bounded
     t0 = time.perf_counter()
     for _ in range(n_disp):
         ts, m = step(ts, batch)

@@ -19,8 +19,9 @@ import time
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/mcgm_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from mcgm_tpu.compile_cache import enable_compile_cache
+
+enable_compile_cache("/tmp/mcgm_jax_cache")  # fenced: off under remote-compile axon
 
 from mcgm_tpu.config import apply_control_name, load_config, process_control
 from mcgm_tpu.models import build_model

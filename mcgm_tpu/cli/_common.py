@@ -21,7 +21,6 @@ Two additions over the reference surface:
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 
 import yaml
@@ -57,17 +56,18 @@ def configure_device(cfg: dict) -> None:
     protocol launches every experiment as its own OS process (make.py's
     emitted scripts — 12 seeds x variants per cell), so without the disk
     cache each job pays the full XLA compile; with it, job N's compiles
-    are near-free cache loads."""
+    are near-free cache loads. The enable is fenced through
+    mcgm_tpu.compile_cache: under the remote-compile axon backend the
+    cache deadlocks the client (round-3 BENCH rc=124), so it stays off
+    there unless MCGM_COMPILE_CACHE=1 forces it."""
     device = str(cfg.get("device", "tpu")).lower()
     import jax
 
     if device == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    cache_dir = cfg.get("compile_cache_dir", "")
-    if cache_dir:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser(str(cache_dir)))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from ..compile_cache import enable_compile_cache
+
+    enable_compile_cache(str(cfg.get("compile_cache_dir", "")))
 
 
 def parse_cfg(argv=None, **defaults) -> dict:

@@ -65,13 +65,16 @@ def test_parse_cfg_overrides_and_control():
     assert cfg["control"] == {"controller_rate": "0.5"}
 
 
-def test_parse_cfg_enables_persistent_compile_cache(tmp_path):
+def test_parse_cfg_enables_persistent_compile_cache(tmp_path, monkeypatch):
     """cfg['compile_cache_dir'] turns on JAX's disk compilation cache at
     CLI startup (the reference protocol runs every experiment as its own
     OS process; the cache makes job N's compiles near-free); empty string
     leaves the config untouched (disable knob)."""
     import jax
 
+    # plain backend (no remote-compile axon): cache allowed
+    monkeypatch.delenv("PALLAS_AXON_REMOTE_COMPILE", raising=False)
+    monkeypatch.delenv("MCGM_COMPILE_CACHE", raising=False)
     d = str(tmp_path / "cc")
     parse_cfg(["--model_name", "cvae", "--control_name", "None",
                "--compile_cache_dir", d])
@@ -79,6 +82,35 @@ def test_parse_cfg_enables_persistent_compile_cache(tmp_path):
     parse_cfg(["--model_name", "cvae", "--control_name", "None",
                "--compile_cache_dir", ""])
     assert jax.config.jax_compilation_cache_dir == d  # unchanged, not reset
+
+
+def test_compile_cache_fenced_under_remote_compile_axon(tmp_path, monkeypatch):
+    """Under the remote-compile axon backend the persistent cache deadlocks
+    the client (round-3 BENCH rc=124), so enable_compile_cache must refuse
+    there — unless MCGM_COMPILE_CACHE=1 explicitly forces it, and
+    MCGM_COMPILE_CACHE=0 force-disables everywhere."""
+    from mcgm_tpu.compile_cache import compile_cache_allowed
+
+    monkeypatch.setenv("PALLAS_AXON_REMOTE_COMPILE", "1")
+    monkeypatch.delenv("MCGM_COMPILE_CACHE", raising=False)
+    assert not compile_cache_allowed()
+    monkeypatch.setenv("MCGM_COMPILE_CACHE", "1")
+    assert compile_cache_allowed()
+    monkeypatch.delenv("PALLAS_AXON_REMOTE_COMPILE", raising=False)
+    monkeypatch.setenv("MCGM_COMPILE_CACHE", "0")
+    assert not compile_cache_allowed()
+    monkeypatch.delenv("MCGM_COMPILE_CACHE", raising=False)
+    assert compile_cache_allowed()
+
+    # the guarded enable is a no-op under the fenced backend: config unchanged
+    import jax
+
+    monkeypatch.setenv("PALLAS_AXON_REMOTE_COMPILE", "1")
+    from mcgm_tpu.compile_cache import enable_compile_cache
+
+    before = jax.config.jax_compilation_cache_dir
+    assert enable_compile_cache(str(tmp_path / "nope")) is False
+    assert jax.config.jax_compilation_cache_dir == before
 
 
 def test_extended_datasets_in_control():

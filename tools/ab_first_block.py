@@ -41,8 +41,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/mcgm_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from mcgm_tpu.compile_cache import enable_compile_cache
+
+enable_compile_cache("/tmp/mcgm_jax_cache")  # fenced: off under remote-compile axon
 
 B, H, W, CIN, COUT = 64, 128, 128, 3, 64
 RT = 8   # output rows per grid step (out res 64 -> 8 row tiles)

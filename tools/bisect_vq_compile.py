@@ -10,8 +10,9 @@ means "compiles fine".
 
 Variants:
   full        production op (the known-slow baseline at S=12 k>=2)
+  no_vq       whole VQ op bypassed (identity quantize, zero codes)
   no_ema      EMA buffer update skipped (forward math unchanged)
-  no_argmin   codes fixed to zeros (EMA + gather stay, argmin removed)
+  no_argmin   dist matmul kept live, only the argmin replaced by zeros
   matmul_gather  decode gather via one_hot @ emb.T instead of jnp.take
   segment     EMA counts/sums via segment_sum instead of one_hot matmul
 """
@@ -28,8 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/mcgm_jax_cache_bisect")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10000.0)
+from mcgm_tpu.compile_cache import compile_cache_allowed
+
+if compile_cache_allowed():  # fenced: off under remote-compile axon
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mcgm_jax_cache_bisect")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10000.0)
 
 
 def patch(variant):
@@ -57,11 +61,13 @@ def patch(variant):
             "vq_stats", "embedding_mean", lambda: embedding.value)
         flat = x.reshape(-1, D).astype(jnp.float32)
         emb = embedding.value
+        dist = (jnp.sum(flat**2, 1, keepdims=True) - 2.0 * flat @ emb
+                + jnp.sum(emb**2, 0, keepdims=True))
         if variant == "no_argmin":
-            ind = jnp.zeros((flat.shape[0],), jnp.int32)
+            # keep the dist matmul live so only the argmin is bisected out
+            ind = jnp.zeros((flat.shape[0],), jnp.int32) + (
+                0 * dist[:, 0]).astype(jnp.int32)
         else:
-            dist = (jnp.sum(flat**2, 1, keepdims=True) - 2.0 * flat @ emb
-                    + jnp.sum(emb**2, 0, keepdims=True))
             ind = jnp.argmin(dist, axis=1)
         onehot = jax.nn.one_hot(ind, K, dtype=flat.dtype)
         code = ind.reshape(x.shape[:-1])
@@ -98,7 +104,9 @@ def patch(variant):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--variant", default="full")
+    ap.add_argument("--variant", default="full",
+                    choices=["full", "no_vq", "no_ema", "no_argmin",
+                             "matmul_gather", "segment"])
     ap.add_argument("--seeds", type=int, default=12)
     ap.add_argument("--k", type=int, default=2)
     args = ap.parse_args()

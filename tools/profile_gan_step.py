@@ -25,8 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/mcgm_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from mcgm_tpu.compile_cache import enable_compile_cache
+
+enable_compile_cache("/tmp/mcgm_jax_cache")  # fenced: off under remote-compile axon
 
 
 def build_step(px128: bool = False, remat: bool = False):

@@ -91,8 +91,7 @@ def main():
         fn = kstep if args.k > 1 else (lambda s, xs: body(s, xs[0]))
         emb = jnp.zeros((S, D, K)) + 0.01
         state = (emb, jnp.zeros((S, K)), emb)
-        xs = jnp.zeros((args.k, S, N, D), jnp.bfloat16) + 0.5
-        xs = jnp.swapaxes(xs, 0, 0)  # [k, S, N, D]
+        xs = jnp.zeros((args.k, S, N, D), jnp.bfloat16) + 0.5  # [k, S, N, D]
         t0 = time.perf_counter()
         lowered = jax.jit(fn).lower(state, xs)
         c = lowered.compile()
