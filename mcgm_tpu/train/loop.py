@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import copy
 import datetime
+import os
+import threading
 import time
 from dataclasses import replace
 from functools import partial
@@ -368,6 +370,78 @@ class Experiment:
             self._multi_eval_fn = jax.jit(multi)
         return self._multi_eval_fn(params, state, batches, rng)
 
+    # ------------------------------------------------------ dispatch watchdog
+    def _arm_fetch_watchdog(self, n_pending: int):
+        """Arm a timer around a blocking device fetch (§ tunnel wedges).
+
+        The tunneled TPU client demonstrably wedges mid-run (the 200-epoch
+        convergence artifact records an external-infra hang at epoch 154),
+        and a wedged dispatch is indistinguishable from a long step forever
+        — the loop would silently eat the whole job timeout. The watchdog
+        converts that into a clean, resumable failure: if the fetch exceeds
+        the budget, flush the host-side logger, give the async checkpoint
+        writer a bounded join, and hard-exit nonzero (the main thread is
+        unrecoverable inside a blocked device call) — the last
+        epoch-boundary/step checkpoint on disk resumes with resume_mode=1.
+
+        ``cfg['dispatch_timeout']``: seconds; 0 (default) = adaptive —
+        20x the trailing per-step await estimate scaled by the number of
+        steps this fetch awaits, floored at 300s (first fetch: 600s);
+        negative disables the watchdog.
+        """
+        budget = float(self.cfg.get("dispatch_timeout", 0) or 0)
+        if budget < 0:
+            return None
+        if budget == 0:
+            est = getattr(self, "_fetch_step_est", None)
+            budget = (max(300.0, 20.0 * est * max(n_pending, 1))
+                      if est else 600.0)
+        t = threading.Timer(budget, self._on_dispatch_wedge, args=(budget,))
+        t.daemon = True
+        t.start()
+        return t
+
+    def _on_dispatch_wedge(self, budget: float) -> None:
+        print(f"dispatch watchdog: device fetch exceeded {budget:.0f}s — "
+              f"wedged backend/tunnel ({self.tag}); checkpoints on disk are "
+              f"intact, resume_mode=1 continues; exiting", flush=True)
+        try:
+            if self.logger is not None:
+                self.logger.flush()
+        except Exception:
+            pass
+        # bounded: the writer thread may itself be wedged on a device fetch
+        th = getattr(self._ckpt_writer, "_thread", None)
+        if th is not None:
+            th.join(timeout=30)
+        self._wedge_exit(3)
+
+    # injectable for tests; the default leaves a blocked main thread behind,
+    # which only process exit can reap
+    _wedge_exit = staticmethod(os._exit)
+
+    def _blocking_fetch(self, buffered: list, names: list) -> np.ndarray:
+        """The raw device->host transfer (split out so tests can fake a
+        wedged tunnel underneath the watchdog guard)."""
+        return np.asarray(jnp.stack(
+            [jnp.stack([m[k] for k in names]) for m, _ in buffered]))
+
+    def _fetch_stacked(self, buffered: list, names: list) -> np.ndarray:
+        """THE blocking host transfer of the epoch loop (watchdog-guarded)."""
+        wd = self._arm_fetch_watchdog(len(buffered))
+        t0 = time.perf_counter()
+        try:
+            stacked = self._blocking_fetch(buffered, names)
+        finally:
+            if wd is not None:
+                wd.cancel()
+        # trailing per-step await estimate (EMA) for the adaptive budget
+        per_step = (time.perf_counter() - t0) / max(len(buffered), 1)
+        prev = getattr(self, "_fetch_step_est", None)
+        self._fetch_step_est = (per_step if prev is None
+                                else 0.5 * prev + 0.5 * per_step)
+        return stacked
+
     def _flush_buffered(self, buffered: list, split: str) -> None:
         """Land buffered on-device (metrics, n) pairs as ONE stacked
         host transfer and append them to the logger (a per-step float()
@@ -375,8 +449,7 @@ class Experiment:
         if not buffered:
             return
         names = sorted(buffered[0][0].keys())
-        stacked = np.asarray(jnp.stack(
-            [jnp.stack([m[k] for k in names]) for m, _ in buffered]))
+        stacked = self._fetch_stacked(buffered, names)
         for row, (_, n_i) in zip(stacked, buffered):
             self.logger.append(
                 {k: float(v) for k, v in zip(names, row)}, split, n_i)
@@ -1050,14 +1123,32 @@ def run_experiments(cfg: dict, num_epochs: int | None = None, mesh=None):
             from ..parallel import make_seed_mesh
 
             smesh = make_seed_mesh(ws)
-        from .seed_parallel import SeedParallelExperiment
+        from .seed_parallel import SeedParallelExperiment, seed_parallel_groups
 
-        exp = SeedParallelExperiment(
-            cfg, seeds=[cfg["init_seed"] + i for i in range(n_exp)],
-            mesh=smesh)
-        print(f"Experiment (seed-parallel x{n_exp}"
-              f"{f' over {ws} devices' if smesh else ''}): {exp.tag}")
-        return exp.run(num_epochs)
+        # per-family cap on the vmapped group size (measured-optimal S;
+        # seed_parallel.SEED_PARALLEL_MAX_S) — larger sweeps run as
+        # sequential groups of capped vmaps so the 12-seed protocol never
+        # hits a configuration measured slower than sequential
+        groups = seed_parallel_groups(
+            FAMILY[cfg["model_name"]],
+            [cfg["init_seed"] + i for i in range(n_exp)],
+            world_size=ws, max_override=cfg.get("seed_parallel_max", 0))
+        results = []
+        for g in groups:
+            if len(g) == 1:
+                # a leftover single seed is just a sequential run
+                exp = Experiment(cfg, seed=g[0])
+                print(f"Experiment: {exp.tag}")
+                results.append(exp.run(num_epochs))
+                continue
+            exp = SeedParallelExperiment(cfg, seeds=g, mesh=smesh)
+            grp = (f" [group {g[0]}-{g[-1]} of {n_exp}]"
+                   if len(groups) > 1 else "")
+            print(f"Experiment (seed-parallel x{len(g)}"
+                  f"{f' over {ws} devices' if smesh else ''}){grp}: "
+                  f"{exp.tag}")
+            results.extend(exp.run(num_epochs))
+        return results
     if mesh is None and cfg.get("world_size", 1) > 1:
         n_model = int(cfg.get("model_size", 1))
         n_pipe = int(cfg.get("pipe_size", 1))

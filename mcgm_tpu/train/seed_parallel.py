@@ -47,9 +47,13 @@ Measured single-chip sweep speedups vs sequential at the production k=8
 dispatch (docs/artifacts/seed_parallel_bench.json; DESIGN.md section):
 classifier 9.6x at S=12 (the latency-bound case the design targets),
 vae/vqvae 1.2-1.3x (their batch-128 convs already occupy the chip),
-pixelcnn ~1.05x at S<=4 and NEGATIVE at S>=8 (keep S small or run
-sequentially). vqvae S=12 triggers a pathological XLA compile (>35 min,
-the vmapped EMA scatter at non-power-of-2 S) — use power-of-2 S there.
+pixelcnn ~1.05x at S<=4 and NEGATIVE at S>=8 (HBM pressure). Families
+whose speedup peaks below the sweep size are auto-split into capped
+groups (:data:`SEED_PARALLEL_MAX_S`, :func:`seed_parallel_groups`) so the
+12-seed protocol never runs a measured-slower configuration. The round-3
+"vqvae S=12 pathological compile" was the persistent-compile-cache
+deadlock (mcgm_tpu/compile_cache.py), not XLA: with the cache fenced,
+S=12 compiles normally and measures 1.19x.
 """
 
 from __future__ import annotations
@@ -71,6 +75,47 @@ from .loop import RNG_STREAMS, Experiment
 from .optim import set_learning_rate
 from .state import (make_eval_step, make_train_step, merge_variables,
                     split_variables)
+
+
+# Measured-optimal max vmapped group size per family (single chip, k=8
+# dispatch; docs/artifacts/seed_parallel_bench.json): sweep speedup vs
+# sequential peaks at S=4 for vqvae (1.28x vs 1.23x at S=8) and for
+# pixelcnn (1.06x vs 0.95x at S=8, 0.84x at S=12 — HBM pressure), and
+# keeps rising through S=12 for classifier (9.6x) and vae (1.25-1.26x).
+# Families absent here are uncapped. cfg['seed_parallel_max'] overrides.
+SEED_PARALLEL_MAX_S = {"pixelcnn": 4, "vqvae": 4}
+
+
+def seed_parallel_groups(family: str, seeds, world_size: int = 1,
+                         max_override: int = 0):
+    """Split a seed-parallel sweep into contiguous vmapped groups capped at
+    the family's measured-optimal S, so the 12-seed reference protocol
+    (reference process.py:12, make.py:27) never runs a vmapped
+    configuration measured slower than sequential — e.g. pixelcnn 12 seeds
+    run as 3 groups of 4 (1.06x each) instead of one S=12 vmap (0.84x).
+
+    Groups run one after another and each member seed's semantics are
+    exactly sequential (module docstring), so the split is transparent to
+    artifacts/checkpoints. With ``world_size > 1`` the cap rounds down to
+    a multiple of the seed-mesh size so every group still shards evenly.
+    ``max_override`` (cfg['seed_parallel_max']) replaces the measured cap;
+    0 means auto.
+    """
+    seeds = list(seeds)
+    cap = int(max_override or 0) or SEED_PARALLEL_MAX_S.get(family, 0)
+    if not cap or len(seeds) <= cap:
+        return [seeds]
+    if world_size > 1:
+        cap -= cap % world_size
+        if cap <= 0:
+            raise ValueError(
+                f"seed_parallel: family '{family}' caps vmapped groups at "
+                f"{SEED_PARALLEL_MAX_S.get(family)} seeds (measured "
+                f"slower-than-sequential above — "
+                f"docs/artifacts/seed_parallel_bench.json), which cannot "
+                f"host a seed mesh of world_size {world_size}; lower "
+                f"world_size or override with seed_parallel_max")
+    return [seeds[i:i + cap] for i in range(0, len(seeds), cap)]
 
 
 def _tree_stack(trees):
@@ -360,8 +405,7 @@ class SeedParallelExperiment(Experiment):
         if not buffered:
             return
         names = sorted(buffered[0][0].keys())
-        stacked = np.asarray(jnp.stack(
-            [jnp.stack([m[k] for k in names]) for m, _ in buffered]))
+        stacked = self._fetch_stacked(buffered, names)  # watchdog-guarded
         for row, (_, n_i) in zip(stacked, buffered):   # row: [names, S]
             for j, lg in enumerate(self.loggers):
                 lg.append({k: float(v) for k, v in zip(names, row[:, j])},

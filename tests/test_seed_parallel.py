@@ -203,6 +203,64 @@ def test_seed_parallel_over_seed_mesh_matches_sequential(tmp_path):
                            f"seed{seeds[j]}/state", **TOL)
 
 
+def test_seed_parallel_group_caps():
+    """Per-family vmapped-group caps (round-3 verdict #4): pixelcnn and
+    vqvae regress past S=4 (measured, docs/artifacts/seed_parallel_bench
+    .json), so the 12-seed reference protocol splits into 3 groups of 4;
+    uncapped families stay one group; cfg['seed_parallel_max'] overrides;
+    with a seed mesh the cap rounds down to a mesh multiple."""
+    from mcgm_tpu.train.seed_parallel import seed_parallel_groups
+
+    twelve = list(range(12))
+    assert seed_parallel_groups("pixelcnn", twelve) == [
+        [0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11]]
+    assert seed_parallel_groups("vqvae", twelve) == [
+        [0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11]]
+    # classifier / vae / glow: measured to keep gaining through S=12
+    for fam in ("classifier", "vae", "glow"):
+        assert seed_parallel_groups(fam, twelve) == [twelve]
+    # at or under the cap: single group
+    assert seed_parallel_groups("pixelcnn", [0, 1, 2, 3]) == [[0, 1, 2, 3]]
+    # leftover group smaller than the cap (run sequentially if size 1)
+    assert seed_parallel_groups("vqvae", list(range(5))) == [
+        [0, 1, 2, 3], [4]]
+    # explicit override beats the measured cap
+    assert seed_parallel_groups("pixelcnn", twelve, max_override=12) == [
+        twelve]
+    assert seed_parallel_groups("vae", list(range(4)), max_override=2) == [
+        [0, 1], [2, 3]]
+    # seed mesh: cap rounds down to a multiple of world_size
+    assert seed_parallel_groups("pixelcnn", twelve, world_size=3) == [
+        [0, 1, 2], [3, 4, 5], [6, 7, 8], [9, 10, 11]]
+    with pytest.raises(ValueError, match="cannot host"):
+        seed_parallel_groups("pixelcnn", twelve, world_size=8)
+
+
+def test_seed_parallel_grouped_run_matches_sequential(tmp_path):
+    """run_experiments with a group cap executes the sweep as sequential
+    vmapped groups whose per-seed results equal plain sequential runs —
+    the capped path is transparent, not a different training procedure."""
+    seeds = [0, 1, 2]
+    seq = _run_sequential("mcvae", str(tmp_path / "seq"), seeds, epochs=1)
+    cfg = make_tiny_cfg("mcvae", tmp_dir=str(tmp_path / "grp"), num_epochs=1,
+                        num_experiments=3, seed_parallel=True,
+                        seed_parallel_max=2)
+    loggers = run_experiments(cfg)  # groups [0,1] (vmapped) + [2] (plain)
+    assert len(loggers) == 3
+    for j, exp in enumerate(seq):
+        for key, hist in exp.logger.history.items():
+            if not hist or not isinstance(hist[0], (int, float)):
+                continue
+            np.testing.assert_allclose(
+                loggers[j].history[key], hist, atol=2e-3, rtol=5e-3,
+                err_msg=f"seed{seeds[j]} history {key}")
+    # every seed's reference-tag artifacts land regardless of its group
+    for s in seeds:
+        t = f"{s}_Synthetic_label_mcvae_0.5"
+        assert os.path.exists(
+            os.path.join(str(tmp_path / "grp"), "model", f"{t}_best.pkl"))
+
+
 def test_seed_parallel_rejects_unsupported():
     cfg = make_tiny_cfg("mcgan", num_experiments=2)
     with pytest.raises(ValueError, match="GAN"):

@@ -408,6 +408,97 @@ def test_sigterm_preemption_stops_at_epoch_boundary_and_resumes(tmp_output):
     assert len(logger2.history["train/Loss"]) == 5  # epochs 3..5 appended
 
 
+def test_dispatch_watchdog_trips_on_wedged_fetch(tmp_output):
+    """A wedged device/tunnel makes a blocking fetch hang forever (the
+    epoch-154 wedge in docs/artifacts/convergence_200ep_mcgan.json); the
+    dispatch watchdog must trip after cfg['dispatch_timeout'] seconds and
+    invoke the exit path (logger flushed, bounded writer join, exit code
+    3). The exit hook is injected so the trip is observable in-process."""
+    import time as _time
+
+    cfg = make_tiny_cfg("mcvae", tmp_dir=tmp_output, num_epochs=1,
+                        dispatch_timeout=1)
+    exp = Experiment(cfg)
+    trips = []
+    exp._wedge_exit = lambda code: trips.append(code)
+    orig = Experiment._blocking_fetch
+
+    def slow_fetch(self, buffered, names):
+        _time.sleep(2.5)  # longer than the 1s budget -> watchdog fires
+        return orig(self, buffered, names)
+
+    try:
+        Experiment._blocking_fetch = slow_fetch
+        exp.run()
+    finally:
+        Experiment._blocking_fetch = orig
+    assert trips and all(c == 3 for c in trips)
+
+    # negative budget disables the watchdog entirely
+    cfg2 = make_tiny_cfg("mcvae", tmp_dir=tmp_output, num_epochs=1,
+                         dispatch_timeout=-1)
+    exp2 = Experiment(cfg2)
+    trips2 = []
+    exp2._wedge_exit = lambda code: trips2.append(code)
+    try:
+        Experiment._blocking_fetch = slow_fetch
+        exp2.run()
+    finally:
+        Experiment._blocking_fetch = orig
+    assert not trips2
+
+
+def test_dispatch_watchdog_exit_leaves_resumable_checkpoint(tmp_output):
+    """Full exit path in a real subprocess: fetches start hanging forever
+    once epoch 1's checkpoint is on disk — the run must exit nonzero (code
+    3) via the watchdog instead of eating the whole job timeout, and the
+    checkpoint left behind must resume_mode=1 cleanly to completion."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = os.path.join(tmp_output, "wedge")
+    ckpt = os.path.join(out_dir, "model",
+                        "0_Synthetic_label_mcvae_0.5_checkpoint.pkl")
+    script = os.path.join(tmp_output, "wedge_run.py")
+    with open(script, "w") as f:
+        f.write(f"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, os.path.join({repo!r}, "tests"))
+from conftest import make_tiny_cfg
+from mcgm_tpu.train.loop import Experiment
+
+orig = Experiment._blocking_fetch
+
+def wedged(self, buffered, names):
+    if os.path.exists({ckpt!r}):
+        time.sleep(3600)   # the tunnel never answers again
+    return orig(self, buffered, names)
+
+Experiment._blocking_fetch = wedged
+cfg = make_tiny_cfg("mcvae", tmp_dir={out_dir!r}, num_epochs=3,
+                    dispatch_timeout=2)
+Experiment(cfg).run()
+print("UNREACHABLE: run completed despite wedge")
+""")
+    proc = subprocess.run([sys.executable, script], capture_output=True,
+                          text=True, timeout=900)
+    assert proc.returncode == 3, (proc.returncode, proc.stdout[-2000:],
+                                  proc.stderr[-2000:])
+    assert "dispatch watchdog" in proc.stdout
+    assert "UNREACHABLE" not in proc.stdout
+    # the checkpoint on disk is epoch 1's, intact and resumable
+    from mcgm_tpu.utils import load
+
+    payload = load(ckpt)
+    assert payload["epoch"] == 2  # resume re-enters at epoch 2
+    cfg2 = make_tiny_cfg("mcvae", tmp_dir=out_dir, num_epochs=3,
+                         resume_mode=1, dispatch_timeout=-1)
+    logger = Experiment(cfg2).run()
+    assert len(logger.history["train/Loss"]) == 3
+
+
 def test_mid_epoch_checkpoint_resume_bit_equal(tmp_output):
     """save_every_steps>0 + a crash between mid-epoch checkpoints: resuming
     with resume_mode=1 re-enters the unfinished epoch at the saved step and
