@@ -19,6 +19,12 @@ def main():
                    help="flags appended verbatim to every emitted command")
     p.add_argument("--out_dir", default=".",
                    help="directory for the emitted script (default: cwd)")
+    p.add_argument("--official_tf", action="store_true",
+                   help="reference split (reference make_test.py:12-102): "
+                        "score CIFAR10 dumps with the official frozen-"
+                        "TF-graph CLIs (inception_score_tf.py / fid_tf.py "
+                        "npy <tag>; needs the 2015 GraphDef on disk) and "
+                        "everything else with test_generated")
     args = p.parse_args()
     variants = {
         "vae": ["cvae", "mcvae"], "gan": ["cgan", "mcgan"],
@@ -29,7 +35,13 @@ def main():
         control = "0.5" if variant.startswith("mc") else "None"
         base = (f"--data_name {data} --model_name {variant} "
                 f"--control_name {control} --init_seed {seed}")
-        cmds.append(f"python -m mcgm_tpu.cli.test_generated generated {base}")
+        if args.official_tf and data == "CIFAR10":
+            rate = "_0.5" if variant.startswith("mc") else ""
+            tag = f"generated_{seed}_{data}_label_{variant}{rate}"
+            cmds.append(f"python inception_score_tf.py npy {tag}")
+            cmds.append(f"python fid_tf.py npy {tag}")
+        else:
+            cmds.append(f"python -m mcgm_tpu.cli.test_generated generated {base}")
         cmds.append(f"python -m mcgm_tpu.cli.test_generated created {base}")
     if args.extra:
         cmds = [f"{c} {args.extra}" for c in cmds]

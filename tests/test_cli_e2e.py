@@ -91,6 +91,26 @@ def test_make_seed_parallel_emission(tmp_path):
         assert proc.returncode != 0, args
 
 
+def test_make_test_official_tf_emission(tmp_path):
+    """--official_tf reproduces the reference's scorer split
+    (reference make_test.py:12-102): CIFAR10 dumps go through the frozen-
+    TF-graph shims (inception_score_tf.py / fid_tf.py npy <tag>), other
+    datasets through test_generated; created DBI for all."""
+    _run("make_test.py", "--model", "gan", "--data", "CIFAR10", "COIL100",
+         "--init_seeds", "0", "--official_tf", "--out_dir", str(tmp_path))
+    with open(tmp_path / "test_generated_gan.sh") as f:
+        cmds = [l for l in f if l.startswith("python")]
+    tf_cmds = [c for c in cmds if "inception_score_tf.py" in c
+               or "fid_tf.py" in c]
+    assert len(tf_cmds) == 4  # 2 variants x (IS + FID), CIFAR10 only
+    assert any("npy generated_0_CIFAR10_label_mcgan_0.5" in c
+               for c in tf_cmds)
+    assert any("npy generated_0_CIFAR10_label_cgan" in c for c in tf_cmds)
+    coil = [c for c in cmds if "COIL100" in c and "test_generated" in c]
+    assert len(coil) == 4  # generated + created per variant
+    assert sum("created" in c for c in cmds) == 4  # DBI for every cell
+
+
 def test_reference_cli_chain_subprocess(tmp_path):
     config = _write_tiny_config(tmp_path)
     out = str(tmp_path / "output")
