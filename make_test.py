@@ -36,8 +36,16 @@ def main():
         base = (f"--data_name {data} --model_name {variant} "
                 f"--control_name {control} --init_seed {seed}")
         if args.official_tf and data == "CIFAR10":
-            rate = "_0.5" if variant.startswith("mc") else ""
-            tag = f"generated_{seed}_{data}_label_{variant}{rate}"
+            # the npy dump name must match what generate.py writes — derive
+            # it through the one tag builder (config.make_model_tag), not a
+            # re-hardcoded copy of the scheme
+            from mcgm_tpu.config import apply_control_name, load_config, \
+                make_model_tag
+
+            tag_cfg = apply_control_name(
+                dict(load_config(), data_name=data, model_name=variant),
+                control)
+            tag = f"generated_{make_model_tag(tag_cfg, seed)}"
             cmds.append(f"python inception_score_tf.py npy {tag}")
             cmds.append(f"python fid_tf.py npy {tag}")
         else:

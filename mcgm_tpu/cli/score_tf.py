@@ -100,8 +100,9 @@ def main(kind: str, argv=None, **defaults):
         if not os.path.exists(stats_file):
             raise FileNotFoundError(
                 f"real-side stats not found at {stats_file}; produce them "
-                f"with: python fid_tf.py stats-from-real (i.e. kind "
-                f"'stats' on the real dump from make_stats dump), or pass "
+                f"from the real dump (python -m mcgm_tpu.cli.make_stats "
+                f"dump ... first) with: python -m mcgm_tpu.cli.score_tf "
+                f"stats npy generated_0_{data_name}, or pass "
                 f"--fid_stats PATH")
         with np.load(stats_file) as f:
             mu1, sigma1 = f["mu"], f["sigma"]

@@ -19,6 +19,7 @@ protocol. The per-batch work is one jitted step; batches stream to the device
 
 from __future__ import annotations
 
+import contextlib
 import copy
 import datetime
 import os
@@ -420,6 +421,18 @@ class Experiment:
     # which only process exit can reap
     _wedge_exit = staticmethod(os._exit)
 
+    @contextlib.contextmanager
+    def _fetch_guard(self, n_pending: int = 1):
+        """Watchdog window around any blocking device fetch / writer join
+        in the epoch loop (metric flushes, the GAN eval sweep, checkpoint
+        snapshot+submit) — see :meth:`_arm_fetch_watchdog`."""
+        wd = self._arm_fetch_watchdog(n_pending)
+        try:
+            yield
+        finally:
+            if wd is not None:
+                wd.cancel()
+
     def _blocking_fetch(self, buffered: list, names: list) -> np.ndarray:
         """The raw device->host transfer (split out so tests can fake a
         wedged tunnel underneath the watchdog guard)."""
@@ -428,13 +441,9 @@ class Experiment:
 
     def _fetch_stacked(self, buffered: list, names: list) -> np.ndarray:
         """THE blocking host transfer of the epoch loop (watchdog-guarded)."""
-        wd = self._arm_fetch_watchdog(len(buffered))
         t0 = time.perf_counter()
-        try:
+        with self._fetch_guard(len(buffered)):
             stacked = self._blocking_fetch(buffered, names)
-        finally:
-            if wd is not None:
-                wd.cancel()
         # trailing per-step await estimate (EMA) for the adaptive budget
         per_step = (time.perf_counter() - t0) / max(len(buffered), 1)
         prev = getattr(self, "_fetch_step_est", None)
@@ -843,13 +852,17 @@ class Experiment:
         gsum = jnp.zeros((d,), jnp.float32)
         gouter = jnp.zeros((d, d), jnp.float32)
         probs_parts = []
-        for i in range(0, total, chunk):
-            Ci = jnp.asarray(C[i:i + chunk], jnp.int32)
-            zi = self.fixed_z[i:i + chunk]
-            gsum, gouter, probs = self._gan_chunk_fn(gsum, gouter, variables,
-                                                     Ci, zi, center)
-            probs_parts.append(probs)
-        probs = np.asarray(jnp.concatenate(probs_parts))
+        # the fetch below awaits every async chunk dispatch — guard it so a
+        # wedged tunnel during the per-epoch eval sweep (the GAN family's
+        # dominant device->host transfer) trips the dispatch watchdog
+        with self._fetch_guard(max(total // max(chunk, 1), 1)):
+            for i in range(0, total, chunk):
+                Ci = jnp.asarray(C[i:i + chunk], jnp.int32)
+                zi = self.fixed_z[i:i + chunk]
+                gsum, gouter, probs = self._gan_chunk_fn(
+                    gsum, gouter, variables, Ci, zi, center)
+                probs_parts.append(probs)
+            probs = np.asarray(jnp.concatenate(probs_parts))
         gbar = np.asarray(gsum, np.float64) / total
         mu = center_np.astype(np.float64) + gbar
         sigma = (np.asarray(gouter, np.float64)
@@ -957,9 +970,12 @@ class Experiment:
             payload["mid_epoch_step"] = int(mid_step)
         # fetch+pickle+write (tens to hundreds of MB) overlaps the next
         # epoch's dispatched steps — jax arrays are immutable, so the
-        # writer sees exactly this epoch's values
-        self._ckpt_writer.submit(cfg, self.tag, payload,
-                                 copy_to_best=copy_to_best)
+        # writer sees exactly this epoch's values. submit() first joins the
+        # PREVIOUS epoch's writer and snapshots device buffers — both block
+        # on the device, so the wedge watchdog covers them too
+        with self._fetch_guard():
+            self._ckpt_writer.submit(cfg, self.tag, payload,
+                                     copy_to_best=copy_to_best)
 
     def _resume(self):
         cfg = self.cfg

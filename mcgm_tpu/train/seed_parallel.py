@@ -102,19 +102,25 @@ def seed_parallel_groups(family: str, seeds, world_size: int = 1,
     0 means auto.
     """
     seeds = list(seeds)
-    cap = int(max_override or 0) or SEED_PARALLEL_MAX_S.get(family, 0)
+    override = int(max_override or 0)
+    if override < 0:  # negative = uncapped (mirrors dispatch_timeout's
+        return [seeds]  # negative-disables convention)
+    cap = override or SEED_PARALLEL_MAX_S.get(family, 0)
     if not cap or len(seeds) <= cap:
         return [seeds]
     if world_size > 1:
+        requested = cap
         cap -= cap % world_size
         if cap <= 0:
+            why = (f"seed_parallel_max={requested}" if override else
+                   f"family '{family}' caps vmapped groups at {requested} "
+                   f"seeds (measured slower-than-sequential above — "
+                   f"docs/artifacts/seed_parallel_bench.json)")
             raise ValueError(
-                f"seed_parallel: family '{family}' caps vmapped groups at "
-                f"{SEED_PARALLEL_MAX_S.get(family)} seeds (measured "
-                f"slower-than-sequential above — "
-                f"docs/artifacts/seed_parallel_bench.json), which cannot "
-                f"host a seed mesh of world_size {world_size}; lower "
-                f"world_size or override with seed_parallel_max")
+                f"seed_parallel: {why}, which cannot host a seed mesh of "
+                f"world_size {world_size}; lower world_size or raise the "
+                f"cap (seed_parallel_max >= world_size, or negative for "
+                f"uncapped)")
     return [seeds[i:i + cap] for i in range(0, len(seeds), cap)]
 
 
@@ -455,20 +461,22 @@ class SeedParallelExperiment(Experiment):
         cfg = self.cfg
         best = (copy_to_best if isinstance(copy_to_best, (list, tuple))
                 else [copy_to_best] * len(self.seeds))
-        for j, tag in enumerate(self.tags):
-            ts_j = jax.tree_util.tree_map(lambda a, j=j: a[j], self.ts)
-            payload = {
-                "cfg": {k: v for k, v in cfg.items() if k != "z"} |
-                       {"model_tag": tag},
-                "epoch": epoch + 1,
-                "model_dict": merge_variables(ts_j.params, ts_j.state),
-                "optimizer_dict": ts_j.opt_state,
-                "scheduler_dict": self.schedulers[j].state_dict(),
-                "logger": copy.deepcopy(self.loggers[j]),
-                "rng": np.asarray(ts_j.rng),
-                "eval_rng": np.asarray(self.rng[j]),
-            }
-            self._ckpt_writer.submit(cfg, tag, payload, copy_to_best=best[j])
+        with self._fetch_guard(len(self.tags)):  # device fetches + joins
+            for j, tag in enumerate(self.tags):
+                ts_j = jax.tree_util.tree_map(lambda a, j=j: a[j], self.ts)
+                payload = {
+                    "cfg": {k: v for k, v in cfg.items() if k != "z"} |
+                           {"model_tag": tag},
+                    "epoch": epoch + 1,
+                    "model_dict": merge_variables(ts_j.params, ts_j.state),
+                    "optimizer_dict": ts_j.opt_state,
+                    "scheduler_dict": self.schedulers[j].state_dict(),
+                    "logger": copy.deepcopy(self.loggers[j]),
+                    "rng": np.asarray(ts_j.rng),
+                    "eval_rng": np.asarray(self.rng[j]),
+                }
+                self._ckpt_writer.submit(cfg, tag, payload,
+                                         copy_to_best=best[j])
 
     # ---------------------------------------------------------------- resume
     def _fresh_loggers(self):

@@ -224,8 +224,10 @@ def test_seed_parallel_group_caps():
     # leftover group smaller than the cap (run sequentially if size 1)
     assert seed_parallel_groups("vqvae", list(range(5))) == [
         [0, 1, 2, 3], [4]]
-    # explicit override beats the measured cap
+    # explicit override beats the measured cap; negative = uncapped
     assert seed_parallel_groups("pixelcnn", twelve, max_override=12) == [
+        twelve]
+    assert seed_parallel_groups("pixelcnn", twelve, max_override=-1) == [
         twelve]
     assert seed_parallel_groups("vae", list(range(4)), max_override=2) == [
         [0, 1], [2, 3]]
