@@ -970,9 +970,13 @@ class Experiment:
             payload["mid_epoch_step"] = int(mid_step)
         # fetch+pickle+write (tens to hundreds of MB) overlaps the next
         # epoch's dispatched steps — jax arrays are immutable, so the
-        # writer sees exactly this epoch's values. submit() first joins the
-        # PREVIOUS epoch's writer and snapshots device buffers — both block
-        # on the device, so the wedge watchdog covers them too
+        # writer sees exactly this epoch's values. The join of the PREVIOUS
+        # epoch's writer is HOST work (pickle+disk, legitimately minutes on
+        # a contended 1-core host) and must stay OUTSIDE the wedge watchdog
+        # — guarding it killed healthy 12-seed glow sweeps whose checkpoint
+        # payloads out-wrote the 300s floor; only the device-buffer
+        # snapshot inside submit() is a device interaction worth guarding
+        self._ckpt_writer.wait()
         with self._fetch_guard():
             self._ckpt_writer.submit(cfg, self.tag, payload,
                                      copy_to_best=copy_to_best)

@@ -461,8 +461,14 @@ class SeedParallelExperiment(Experiment):
         cfg = self.cfg
         best = (copy_to_best if isinstance(copy_to_best, (list, tuple))
                 else [copy_to_best] * len(self.seeds))
-        with self._fetch_guard(len(self.tags)):  # device fetches + joins
-            for j, tag in enumerate(self.tags):
+        for j, tag in enumerate(self.tags):
+            # join the previous seed's pickle+write OUTSIDE the watchdog:
+            # S large payloads are minutes of host work on a contended
+            # 1-core host, not a device wedge (guarding this join killed
+            # healthy 12-seed glow sweeps); only the device fetches and
+            # the snapshot inside submit() stay guarded
+            self._ckpt_writer.wait()
+            with self._fetch_guard():
                 ts_j = jax.tree_util.tree_map(lambda a, j=j: a[j], self.ts)
                 payload = {
                     "cfg": {k: v for k, v in cfg.items() if k != "z"} |

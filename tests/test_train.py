@@ -448,6 +448,35 @@ def test_dispatch_watchdog_trips_on_wedged_fetch(tmp_output):
     assert not trips2
 
 
+def test_dispatch_watchdog_tolerates_slow_checkpoint_writer(tmp_output):
+    """A SLOW host-side checkpoint write (pickle+disk on a contended core)
+    is not a device wedge: the writer join happens OUTSIDE the watchdog
+    guard, so a write that far exceeds the budget must NOT trip it.
+    Regression: guarding the join killed healthy 12-seed glow sweeps whose
+    per-epoch checkpoint payloads out-wrote the budget floor."""
+    import time as _time
+
+    from mcgm_tpu.io import checkpoint as ck
+
+    cfg = make_tiny_cfg("mcvae", tmp_dir=tmp_output, num_epochs=2,
+                        dispatch_timeout=2)
+    exp = Experiment(cfg)
+    trips = []
+    exp._wedge_exit = lambda code: trips.append(code)
+    orig = ck.save_checkpoint
+
+    def slow_save(*a, **k):
+        _time.sleep(5)  # >> the 2s budget; epoch 2's submit joins this
+        return orig(*a, **k)
+
+    try:
+        ck.save_checkpoint = slow_save
+        exp.run()
+    finally:
+        ck.save_checkpoint = orig
+    assert not trips, f"watchdog tripped on a slow host write: {trips}"
+
+
 def test_dispatch_watchdog_exit_leaves_resumable_checkpoint(tmp_output):
     """Full exit path in a real subprocess: fetches start hanging forever
     once epoch 1's checkpoint is on disk — the run must exit nonzero (code

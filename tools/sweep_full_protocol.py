@@ -78,9 +78,15 @@ def run(cmd, **kw):
     return time.time() - t0
 
 
-def run_family(fam: str, config: str, tmp: str, seeds, wall: dict):
+def run_family(fam: str, config: str, tmp: str, seeds, wall: dict,
+               sp_max: int = 0):
     n = len(seeds)
-    extra = ["--extra", f"--config {config}", "--out_dir", tmp]
+    extra_flags = f"--config {config}"
+    if sp_max:
+        # cap the vmapped group size (train/seed_parallel.py groups) — e.g.
+        # when the full-size glow S=12 vmap is too big for one chip's HBM
+        extra_flags += f" --seed_parallel_max {sp_max}"
+    extra = ["--extra", extra_flags, "--out_dir", tmp]
     if fam == "gan":
         # 12 seeds as one in-process sequential loop per variant — the
         # XLA-compile-once analog of the reference's per-seed GPU jobs
@@ -122,6 +128,10 @@ def main():
     p.add_argument("--tmp", default="/tmp/mcgm_sweep12")
     p.add_argument("--families", nargs="+", default=ORDER, choices=ORDER)
     p.add_argument("--aggregate-only", action="store_true")
+    p.add_argument("--sp_max", type=int, default=0,
+                   help="forward --seed_parallel_max to the emitted train "
+                        "commands (cap vmapped group size; 0 = per-family "
+                        "auto)")
     p.add_argument("--out", default=os.path.join(
         ROOT, "docs", "artifacts", "sweep_12seed_synthetic.json"))
     args = p.parse_args()
@@ -135,7 +145,16 @@ def main():
 
     if not args.aggregate_only:
         for fam in [f for f in ORDER if f in args.families]:
-            run_family(fam, config, args.tmp, seeds, wall)
+            try:
+                run_family(fam, config, args.tmp, seeds, wall,
+                           sp_max=args.sp_max)
+            except subprocess.CalledProcessError as e:
+                # keep going: one family's failure (e.g. an OOM at an
+                # untested vmapped shape) must not discard the finished
+                # legs — state persists in --tmp, so the family can be
+                # re-run alone (--families fam) after a fix
+                wall[f"FAILED_{fam}"] = str(e)
+                print(f"family {fam} FAILED: {e} — continuing", flush=True)
             with open(wall_path, "w") as f:
                 json.dump(wall, f, indent=1)
 
