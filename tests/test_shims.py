@@ -16,6 +16,9 @@ REFERENCE_SCRIPTS = [
     "generate.py", "transit.py", "create.py",
     "make.py", "make_test.py", "make_learning_curve.py",
     "process.py", "summary.py",
+    # metrics_tf tier (reference src/metrics_tf/): the official frozen-
+    # TF-graph scorers, same `npy <tag>` invocation
+    "inception_score_tf.py", "fid_tf.py",
 ]
 
 
