@@ -629,7 +629,11 @@ class _GlowBase(nn.Module):
         if train and w is None:
             return jnp.mean(jnp.where(nan, 0.0, loss))
         ok = jnp.sum(~nan)
-        return jnp.sum(jnp.where(nan, 0.0, loss)) / jnp.maximum(ok, 1)
+        mean = jnp.sum(jnp.where(nan, 0.0, loss)) / jnp.maximum(ok, 1)
+        # All rows NaN/padded ⇒ NaN, matching the reference's mean-of-empty
+        # (mcglow.py:283-293). Returning 0.0 here would let a fully-diverged
+        # epoch win the min-Loss ``_best`` pivot with a "perfect" score.
+        return jnp.where(ok > 0, mean, jnp.float32(jnp.nan))
 
     def __call__(self, batch, train: bool = False, ddi: bool = False):
         indicator = one_hot(batch["label"], self.num_mode)

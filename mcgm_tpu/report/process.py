@@ -54,21 +54,40 @@ def collect_results(output_dir: str = "./output") -> dict:
 
 
 def summarize(results: dict) -> dict:
+    """Aggregate per-seed values to mean/std/max/min.
+
+    Non-finite seed values (diverged runs — e.g. glow's all-NaN eval loss
+    reporting NaN) are EXCLUDED from the statistics and surfaced as
+    ``n_diverged`` + ``diverged_seeds`` instead of being silently averaged.
+    A cell with no finite seeds reports null statistics.
+    """
     out = {}
     for cell, metrics in results.items():
         out[cell] = {}
         for name, per_seed in metrics.items():
             seeds = sorted(per_seed)
-            vals = np.asarray([per_seed[s] for s in seeds])
-            out[cell][name] = {
-                "mean": float(vals.mean()),
-                "std": float(vals.std()),
-                "max": float(vals.max()),
-                "min": float(vals.min()),
-                "argmax": seeds[int(vals.argmax())],
-                "argmin": seeds[int(vals.argmin())],
-                "n_seeds": len(seeds),
-            }
+            all_vals = np.asarray([per_seed[s] for s in seeds], dtype=float)
+            finite = np.isfinite(all_vals)
+            entry = {"n_seeds": len(seeds)}
+            if not finite.all():
+                entry["n_diverged"] = int((~finite).sum())
+                entry["diverged_seeds"] = [s for s, f in zip(seeds, finite)
+                                           if not f]
+            if finite.any():
+                vals = all_vals[finite]
+                fseeds = [s for s, f in zip(seeds, finite) if f]
+                entry.update({
+                    "mean": float(vals.mean()),
+                    "std": float(vals.std()),
+                    "max": float(vals.max()),
+                    "min": float(vals.min()),
+                    "argmax": fseeds[int(vals.argmax())],
+                    "argmin": fseeds[int(vals.argmin())],
+                })
+            else:
+                entry.update({"mean": None, "std": None, "max": None,
+                              "min": None, "argmax": None, "argmin": None})
+            out[cell][name] = entry
     return out
 
 

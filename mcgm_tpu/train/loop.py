@@ -577,6 +577,10 @@ class Experiment:
                     break
                 self.test_epoch(epoch)
                 pivot_val = self.logger.mean.get(f"test/{cfg['pivot_metric']}")
+                if pivot_val is not None and not np.isfinite(pivot_val):
+                    print(f"diverged: test/{cfg['pivot_metric']} non-finite at "
+                          f"epoch {epoch}; epoch not eligible for _best",
+                          flush=True)
                 self._scheduler_step(pivot_val)
                 self.logger.safe(False)
                 # when the pivot metric is unavailable (e.g. no feature model
@@ -600,6 +604,10 @@ class Experiment:
         return self.logger
 
     def _improved(self, value, pivot):
+        # a diverged epoch (NaN/inf pivot metric — e.g. glow's all-NaN eval
+        # loss) must never win the ``_best`` copy
+        if value is not None and not np.isfinite(value):
+            return False
         if pivot is None:
             return True
         if self.cfg.get("pivot_mode", "min") == "max":
@@ -1038,7 +1046,10 @@ class Experiment:
                 self.logger.reset()
                 print(f"Resume from {ckpt['epoch']}")
             key = f"test/{cfg['pivot_metric']}"
-            hist = self.logger.history.get(key, [])
+            # non-finite history entries (diverged epochs) never held _best,
+            # so they must not seed the resumed pivot either
+            hist = [v for v in self.logger.history.get(key, [])
+                    if np.isfinite(v)]
             if hist:
                 pivot = (max(hist) if cfg.get("pivot_mode") == "max" else min(hist))
             return ckpt["epoch"], pivot

@@ -555,7 +555,9 @@ class SeedParallelExperiment(Experiment):
             self.logger = _FanoutLogger(self.loggers, self.tags, self.tag)
             key = f"test/{cfg['pivot_metric']}"
             for j, lg in enumerate(self.loggers):
-                hist = lg.history.get(key, [])
+                # diverged (non-finite) epochs never held _best — skip them
+                hist = [v for v in lg.history.get(key, [])
+                        if np.isfinite(v)]
                 if hist:
                     pivots[j] = (max(hist) if cfg.get("pivot_mode") == "max"
                                  else min(hist))

@@ -126,3 +126,20 @@ def test_nan_masking_in_loss():
     # train zeroes the NaN row but divides by 3; eval drops it
     exp_train = (expected.sum() + (-(-math.log(256.) * n_pix) / (math.log(2.) * n_pix) * 0)) / 3
     assert abs(float(eval_loss) - expected.mean()) < 1e-5
+
+def test_all_nan_eval_loss_is_nan_not_zero():
+    """Fully-diverged eval batch ⇒ NaN, never 0.0 (which would win the
+    min-Loss ``_best`` pivot with a perfect score). Reference contract:
+    mean of an empty tensor is NaN (mcglow.py:283-293)."""
+    m = MCGlow((8, 8, 3), hidden_size=8, K=1, L=2, num_mode=4,
+               controller_rate=0.5)
+    log_p = jnp.full((3,), jnp.nan)
+    eval_loss = m.loss_fn(log_p, jnp.zeros(()), train=False)
+    assert np.isnan(float(eval_loss))
+    # all rows masked out by the SPMD eval padding mask: same contract
+    masked = m.loss_fn(jnp.ones((3,)), jnp.zeros(()), train=False,
+                       w=jnp.zeros((3,)))
+    assert np.isnan(float(masked))
+    # the train branch still zeroes NaNs (gradients must stay finite)
+    train_loss = m.loss_fn(log_p, jnp.zeros(()), train=True)
+    assert np.isfinite(float(train_loss))
