@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import copy
 import os
+import re
 
 import yaml
 
@@ -88,9 +89,20 @@ def process_control(cfg: dict) -> dict:
     cfg = copy.deepcopy(cfg)
     if "controller_rate" in cfg.get("control", {}):
         cfg["controller_rate"] = float(cfg["control"]["controller_rate"])
-    if cfg["data_name"] not in _DATA_SHAPES:
-        raise ValueError(f"Not valid dataset: {cfg['data_name']}")
-    shape, per_mode = _DATA_SHAPES[cfg["data_name"]]
+    data_name = cfg["data_name"]
+    m = re.fullmatch(r"(Synthetic|SyntheticGray)(\d+)", data_name)
+    if m:
+        # K-mode Synthetic variant (data/datasets.py): per-mode sampling
+        # protocol mirrors the reference's regimes at that mode count —
+        # Omniglot (1,623 modes) generates 20/mode, COIL100 (100 modes)
+        # 100/mode (reference src/utils.py:107-126)
+        k = int(m.group(2))
+        shape = _DATA_SHAPES[m.group(1)][0]
+        per_mode = 20 if k >= 1000 else (100 if k > 10 else 8)
+    elif data_name not in _DATA_SHAPES:
+        raise ValueError(f"Not valid dataset: {data_name}")
+    else:
+        shape, per_mode = _DATA_SHAPES[data_name]
     cfg["data_shape"] = list(shape)
     cfg["generate_per_mode"] = per_mode
     res = shape[0]

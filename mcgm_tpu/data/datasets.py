@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import re
 import struct
 
 import numpy as np
@@ -392,24 +393,55 @@ _SYNTH_CACHE: dict = {}
 
 def _make_synthetic(channels: int, n_train: int = 1024, n_test: int = 512,
                     num_classes: int = 10):
-    """Class-separable blob images: class-keyed base pattern + noise."""
+    """Class-separable blob images: class-keyed base pattern + noise.
+
+    ``num_classes > 10`` switches to a vectorized randomized-parameter
+    generator (blob center/width + wave frequency/phase drawn per class)
+    so arbitrary mode counts — e.g. the reference's headline regimes,
+    COIL100 @ 100 and Omniglot @ 1,623 modes (reference
+    datasets/omniglot.py:78-83, utils.py:107-126) — can be exercised
+    offline. The 10-class layout is kept bit-identical to the original
+    hand-placed grid (existing tests/artifacts pin its separability).
+    """
     key = (channels, n_train, n_test, num_classes)
     if key in _SYNTH_CACHE:
         return _SYNTH_CACHE[key]
     rng = np.random.default_rng(20260816)
     yy, xx = np.mgrid[0:_RES, 0:_RES].astype(np.float32) / (_RES - 1)
-    bases = []
-    for c in range(num_classes):
-        cx, cy = 0.15 + 0.7 * (c % 5) / 4, 0.25 + 0.5 * (c // 5)
-        blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / 0.02))
-        wave = 0.5 + 0.5 * np.sin(2 * np.pi * (xx * (1 + c % 3) +
-                                               yy * (1 + c // 3)))
-        base = np.stack([blob, wave, 0.5 * blob + 0.5 * wave][:channels], -1)
-        bases.append(base)
-    bases = np.stack(bases)  # [K,H,W,C]
+    if num_classes <= 10:
+        bases = []
+        for c in range(num_classes):
+            cx, cy = 0.15 + 0.7 * (c % 5) / 4, 0.25 + 0.5 * (c // 5)
+            blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / 0.02))
+            wave = 0.5 + 0.5 * np.sin(2 * np.pi * (xx * (1 + c % 3) +
+                                                   yy * (1 + c // 3)))
+            base = np.stack([blob, wave, 0.5 * blob + 0.5 * wave][:channels],
+                            -1)
+            bases.append(base)
+        bases = np.stack(bases)  # [K,H,W,C]
+    else:
+        prng = np.random.default_rng(915_20260816)
+        K = num_classes
+        cx = prng.uniform(0.12, 0.88, K).astype(np.float32)[:, None, None]
+        cy = prng.uniform(0.12, 0.88, K).astype(np.float32)[:, None, None]
+        wdt = prng.uniform(0.008, 0.04, K).astype(np.float32)[:, None, None]
+        fx = prng.integers(1, 5, K).astype(np.float32)[:, None, None]
+        fy = prng.integers(1, 5, K).astype(np.float32)[:, None, None]
+        ph = prng.uniform(0, 2 * np.pi, K).astype(np.float32)[:, None, None]
+        blob = np.exp(-(((xx[None] - cx) ** 2 + (yy[None] - cy) ** 2) / wdt))
+        wave = 0.5 + 0.5 * np.sin(
+            2 * np.pi * (xx[None] * fx + yy[None] * fy) + ph)
+        bases = np.stack([blob, wave, 0.5 * blob + 0.5 * wave][:channels],
+                         -1).astype(np.float32)  # [K,H,W,C]
     out = []
     for n in (n_train, n_test):
-        labels = rng.integers(0, num_classes, n)
+        if num_classes > 10:
+            # balanced classes (Omniglot-style — every mode represented),
+            # shuffled deterministically; uniform draws would leave some of
+            # 1,623 classes empty at ~8 samples/class
+            labels = rng.permutation(np.arange(n) % num_classes)
+        else:
+            labels = rng.integers(0, num_classes, n)
         noise = rng.normal(0, 0.08, (n, _RES, _RES, channels))
         img = np.clip(bases[labels] + noise, 0, 1)
         out.append((np.round(img * 255).astype(np.uint8),
@@ -444,11 +476,21 @@ def fetch_dataset(data_name: str, subset: str = "label",
     """
     if verbose:
         print(f"fetching data {data_name}...")
-    if data_name in ("Synthetic", "SyntheticGray"):
-        channels = 1 if data_name == "SyntheticGray" else 3
-        (tr_img, tr_lab), (te_img, te_lab) = _make_synthetic(channels)
-        ds = {"train": ArrayDataset(tr_img, tr_lab, 10, _DIGITS, data_name),
-              "test": ArrayDataset(te_img, te_lab, 10, _DIGITS, data_name)}
+    m = re.fullmatch(r"(Synthetic|SyntheticGray)(\d+)?", data_name)
+    if m:
+        # 'Synthetic100' / 'Synthetic1623': K-mode variant for exercising
+        # the reference's headline mode counts (COIL100 @ 100, Omniglot @
+        # 1,623) offline. Sizes scale to ~8 samples/class (Omniglot's train
+        # split is ~12/class).
+        channels = 1 if m.group(1) == "SyntheticGray" else 3
+        K = int(m.group(2)) if m.group(2) else 10
+        n_train = max(1024, 8 * K)
+        n_test = max(512, K)
+        (tr_img, tr_lab), (te_img, te_lab) = _make_synthetic(
+            channels, n_train, n_test, K)
+        classes = _DIGITS if K == 10 else [str(i) for i in range(K)]
+        ds = {"train": ArrayDataset(tr_img, tr_lab, K, classes, data_name),
+              "test": ArrayDataset(te_img, te_lab, K, classes, data_name)}
         if verbose:
             print("data ready")
         return ds

@@ -124,8 +124,12 @@ def _int8_conv(x, kernel, run_conv):
     qx, xscale = _quantize_sym(x, axes=tuple(range(1, x.ndim)))
     y = run_conv(qx, qw, jnp.int32)
     # wscale broadcasts over the output-channel (last) axis; xscale keeps
-    # its [B, 1, ...] keepdims shape and broadcasts over the batch axis
-    return y.astype(jnp.float32) * (wscale.reshape(-1) * xscale)
+    # its [B, 1, ...] keepdims shape and broadcasts over the batch axis.
+    # _cast_out: keep the dequantized activation in the compute dtype —
+    # leaving it f32 doubled the inter-layer bandwidth vs the bf16 artifact
+    # and made the int8 export a throughput REGRESSION (round-4
+    # serving_int8_ab_trained.json: 54.3k vs 69.0k samples/s)
+    return _cast_out(y.astype(jnp.float32) * (wscale.reshape(-1) * xscale))
 
 
 def _int8_apply(mod, x, kernel, run_conv):
@@ -153,7 +157,7 @@ def _int8_apply(mod, x, kernel, run_conv):
         qw, wscale = _quantize_sym(kernel,
                                    axes=tuple(range(kernel.ndim - 1)))
         y = run_conv(qx, qw, jnp.int32)
-        return y.astype(jnp.float32) * (wscale.reshape(-1) * scale)
+        return _cast_out(y.astype(jnp.float32) * (wscale.reshape(-1) * scale))
     return _int8_conv(x, kernel, run_conv)
 
 

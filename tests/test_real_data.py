@@ -129,3 +129,85 @@ def test_full_chain_on_real_pixels(tmp_path):
     with open(os.path.join(tmp, "processed_result.json")) as f:
         processed = json.load(f)
     assert any("mcvae" in cell for cell in processed)
+
+
+def test_remaining_families_on_real_pixels(tmp_path):
+    """Round-4 verdict #4: gan/glow/pixelcnn/vqvae had never seen a real
+    image. Train each on the vendored digits shard (the reference's canon
+    trains every family on real data, src/data.py:9-62): vqvae -> frozen-AE
+    mcpixelcnn, mcgan incl. the in-loop IS/FID eval sweep + the
+    generate->test_generated scoring chain, mcglow at 1 channel @ 32px,
+    then aggregate everything with process.py."""
+    tmp = str(tmp_path / "out")
+    data_dir = str(tmp_path / "data")
+    _stage_dataset(data_dir)
+
+    def tiny_of(fam):
+        return _cfg("mcvae", tmp, data_dir)[fam]
+
+    # feature model for the GAN's in-loop IS/FID (features.py resolves
+    # 0_MNIST_label_classifier_best)
+    Experiment(_cfg("classifier", tmp, data_dir, control_name="None",
+                    num_epochs=1)).run()
+
+    # vqvae (unconditioned, reference make.py:51-54) -> frozen-AE pixelcnn
+    lg_vq = Experiment(_cfg("vqvae", tmp, data_dir,
+                            control_name="None")).run()
+    assert np.isfinite(lg_vq.history["test/MSE"][-1])
+    lg_pix = Experiment(_cfg("mcpixelcnn", tmp, data_dir)).run()
+    assert np.isfinite(lg_pix.history["test/NLL"][-1])
+
+    # glow on real 1-channel pixels
+    lg_glow = Experiment(_cfg("mcglow", tmp, data_dir,
+                              num_init_batches=2)).run()
+    assert np.isfinite(lg_glow.history["test/Loss"][-1]), \
+        "glow diverged on real pixels"
+
+    # gan, with the per-epoch fixed-z IS/FID eval running against the real
+    # classifier features
+    lg_gan = Experiment(_cfg("mcgan", tmp, data_dir, d_iter=2)).run()
+    assert np.isfinite(lg_gan.history["train/Loss_G"][-1])
+    assert np.isfinite(lg_gan.history["test/InceptionScore"][-1])
+    assert np.isfinite(lg_gan.history["test/FID"][-1])
+
+    # score generated GAN samples through the npy chain on real-side stats
+    from mcgm_tpu.cli.sample import main as sample_main
+    from mcgm_tpu.cli.test_generated import main as test_generated_main
+
+    tiny = _cfg("mcgan", tmp, data_dir)
+    argv = ["--control_name", "0.5"]
+    common = dict(data_name="MNIST", model_name="mcgan", output_dir=tmp,
+                  data_dir=data_dir, device="cpu",
+                  derive_model_params=False, gan=tiny["gan"],
+                  classifier=tiny["classifier"],
+                  batch_size={"train": 128, "test": 256})
+    sample_main("generate", argv, save_npy=True, generate_per_mode=20,
+                **common)
+    test_generated_main("generated", argv, generate_per_mode=20, **common)
+    is_v = np.load(os.path.join(
+        tmp, "result", "is_generated_0_MNIST_label_mcgan_0.5.npy"))
+    assert np.isfinite(is_v)
+
+    # re-evaluate each stateful family from _best (reference test_*.py flow)
+    from mcgm_tpu.cli.test_model import main as test_model_main
+
+    for model, extra in (
+        ("vqvae", dict(control_name_kw="None", vqvae=tiny_of("vqvae"))),
+        ("mcpixelcnn", dict(pixelcnn=tiny_of("pixelcnn"),
+                            vqvae=tiny_of("vqvae"))),
+        ("mcglow", dict(glow=tiny_of("glow"))),
+    ):
+        cn = extra.pop("control_name_kw", "0.5")
+        test_model_main(["--control_name", cn], data_name="MNIST",
+                        model_name=model, output_dir=tmp, data_dir=data_dir,
+                        device="cpu", derive_model_params=False,
+                        batch_size={"train": 128, "test": 256}, **extra)
+
+    # aggregate all families' real-pixel artifacts
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run([sys.executable, os.path.join(repo, "process.py"), tmp],
+                   check=True, cwd=repo)
+    with open(os.path.join(tmp, "processed_result.json")) as f:
+        processed = json.load(f)
+    for fam in ("vqvae", "mcpixelcnn", "mcglow", "mcgan"):
+        assert any(fam in cell for cell in processed), processed.keys()
