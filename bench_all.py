@@ -86,7 +86,10 @@ def bench_train(model_name, data_name="CIFAR10", label=None):
     else:
         opt = make_optimizer(cfg, grad_clip=cfg.get("grad_clip"))
         ts = TrainState(params, state, opt.init(params), jax.random.PRNGKey(1))
-        raw_step = make_train_step(model, opt, rng_streams=streams)
+        # glow trains with the production non-finite-skip guard on (loop.py
+        # _skip_nonfinite) — bench what ships
+        raw_step = make_train_step(model, opt, rng_streams=streams,
+                                   skip_nonfinite=(fam == "glow"))
         step = jax.jit(raw_step, donate_argnums=0)
     # several warmup calls: the first execution can trigger a second
     # donated-layout compilation + persistent-cache serialization

@@ -285,7 +285,8 @@ class Experiment:
         self.scheduler = Scheduler(cfg)
         step = make_train_step(self.model, self.optimizer,
                                rng_streams=streams,
-                               remat=cfg.get("remat", False))
+                               remat=cfg.get("remat", False),
+                               skip_nonfinite=self._skip_nonfinite())
         self.ts, step = self._place_state(self.ts, step)
         wrapped = self._wrap_metrics(step)
         self.train_step = jax.jit(wrapped, donate_argnums=0)
@@ -464,10 +465,27 @@ class Experiment:
                 {k: float(v) for k, v in zip(names, row)}, split, n_i)
         buffered.clear()
 
+    def _skip_nonfinite(self) -> bool:
+        """AMP-style non-finite-update skip (state.make_train_step).
+        cfg['skip_nonfinite_updates']: true/false, or 'auto' (default) —
+        on for glow, off elsewhere. In bf16 one inf/NaN glow gradient
+        otherwise poisons every parameter through the global-norm clip in a
+        single step (the round-5 cglow root-cause, docs/DESIGN.md)."""
+        v = self.cfg.get("skip_nonfinite_updates", "auto")
+        if isinstance(v, str):
+            if v.lower() == "auto":
+                return self.family == "glow"
+            import yaml
+
+            v = yaml.safe_load(v.lower())
+        return bool(v)
+
     def _wrap_metrics(self, step):
         def wrapped(ts, batch):
             ts, aux = step(ts, batch)
             metrics = self.train_metrics(batch, aux["output"])
+            if "skipped" in aux:
+                metrics = dict(metrics, SkipUpd=aux["skipped"])
             return ts, metrics
 
         return wrapped

@@ -304,7 +304,8 @@ class SeedParallelExperiment(Experiment):
         self.rng = jnp.stack([m.rng for m in self.members])  # eval chains
         streams = RNG_STREAMS.get(self.family, ())
         base = make_train_step(self.model, self.optimizer, rng_streams=streams,
-                               remat=cfg.get("remat", False))
+                               remat=cfg.get("remat", False),
+                               skip_nonfinite=self._skip_nonfinite())
         vstep = jax.vmap(self._wrap_metrics(base))
         if self.seed_mesh is not None:
             # pin step outputs to the seed placement (XLA propagation could

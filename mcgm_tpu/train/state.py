@@ -90,14 +90,23 @@ class TrainState:
 
 
 def make_train_step(model, optimizer, rng_streams: tuple[str, ...] = (),
-                    remat: bool = False):
+                    remat: bool = False, skip_nonfinite: bool = False):
     """Generic single-model train step: fwd, grad, clip (inside optimizer),
     update, carry mutated state. Loss is ``output['loss']``.
 
     ``remat``: rematerialize the forward during backprop
     (``jax.checkpoint``) — trades ~1.3x forward FLOPs for not storing
     activations, the standard lever for memory-bound 128px configs /
-    larger batches. Gradients are identical (tested)."""
+    larger batches. Gradients are identical (tested).
+
+    ``skip_nonfinite``: the mixed-precision guard (torch AMP GradScaler's
+    skip contract): when any gradient is non-finite the whole update —
+    params, optimizer state, mutated collections — is dropped and the step
+    becomes a no-op (rng/step still advance). Without it a single inf/NaN
+    gradient poisons every parameter through clip_by_global_norm's NaN
+    norm in ONE step — the mechanism behind cglow's bf16 divergence
+    (docs/DESIGN.md round-5 cglow root-cause). The metrics dict gains
+    ``skipped`` (0/1) so the logger surfaces the skip rate."""
 
     def step(ts: TrainState, batch: dict) -> tuple[TrainState, dict]:
         rng, *keys = jax.random.split(ts.rng, len(rng_streams) + 1)
@@ -116,9 +125,21 @@ def make_train_step(model, optimizer, rng_streams: tuple[str, ...] = (),
         )(ts.params)
         updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
+        aux = {"loss": loss, "output": out}
+        if skip_nonfinite:
+            ok = jnp.isfinite(optax.global_norm(grads))
+
+            def keep(new, old):
+                return jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(ok, n, o), new, old)
+
+            params = keep(params, ts.params)
+            opt_state = keep(opt_state, ts.opt_state)
+            mutated = keep(mutated, ts.state)
+            aux["skipped"] = 1.0 - ok.astype(jnp.float32)
         new_ts = replace(ts, params=params, state=mutated, opt_state=opt_state,
                          rng=rng, step=ts.step + 1)
-        return new_ts, {"loss": loss, "output": out}
+        return new_ts, aux
 
     return step
 

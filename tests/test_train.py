@@ -826,3 +826,58 @@ def test_fully_diverged_run_writes_no_best(tmp_output):
     exp3.run()
     best = load_checkpoint(exp3.cfg, exp3.tag, "best")
     assert best is not None and best["epoch"] == 4
+
+
+def test_skip_nonfinite_updates_guard():
+    """state.make_train_step(skip_nonfinite=True): a non-finite gradient
+    drops the whole update (params/opt/state untouched, skipped=1) instead
+    of letting clip_by_global_norm's NaN norm poison every parameter — the
+    round-5 cglow bf16 divergence mechanism. Finite steps are bit-identical
+    to the unguarded step."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from mcgm_tpu.train.optim import make_optimizer
+    from mcgm_tpu.train.state import (TrainState, make_train_step,
+                                      split_variables)
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, batch, train=False):
+            y = nn.Dense(4)(batch["img"])
+            return {"loss": jnp.mean((y - 1.0) ** 2)}
+
+    m = M()
+    rng = jax.random.PRNGKey(0)
+    good = {"img": jnp.ones((2, 4))}
+    bad = {"img": jnp.full((2, 4), jnp.nan)}
+    v = m.init(rng, good)
+    params, state = split_variables(v)
+    opt = make_optimizer({"optimizer_name": "Adam", "lr": 1e-2,
+                          "weight_decay": 0}, grad_clip=1.0)
+    ts0 = TrainState(params=params, state=state, opt_state=opt.init(params),
+                     rng=rng)
+    guarded = jax.jit(make_train_step(m, opt, skip_nonfinite=True))
+    plain = jax.jit(make_train_step(m, opt))
+
+    # non-finite grads: params/opt unchanged, flagged
+    ts1, aux = guarded(ts0, bad)
+    assert float(aux["skipped"]) == 1.0
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        ts1.params, ts0.params)
+    # ...while the unguarded step would have been poisoned
+    tsx, _ = plain(ts0, bad)
+    assert not np.isfinite(
+        np.asarray(jax.tree_util.tree_leaves(tsx.params)[0])).all()
+
+    # finite grads: guarded == unguarded bit-for-bit, flagged 0
+    ts2, aux2 = guarded(ts0, good)
+    tsy, _ = plain(ts0, good)
+    assert float(aux2["skipped"]) == 0.0
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        ts2.params, tsy.params)
