@@ -65,7 +65,12 @@ _OVERRIDES = {
                  metric_name={"train": ["Loss"], "test": ["Loss"]},
                  optimizer_name="Adam", lr=3e-4, weight_decay=0,
                  scheduler_name="ReduceLROnPlateau", num_init_batches=8,
-                 grad_clip=1.0),
+                 grad_clip=1.0,
+                 # ride through the first-update transient (round-5 cglow
+                 # root-cause): 16 steps of linear warmup — negligible on
+                 # the CIFAR protocol (391 steps/epoch), decisive for
+                 # full-width cglow stability
+                 lr_warmup_steps=16),
     "pixelcnn": dict(pivot_metric="NLL", pivot_mode="min",
                      metric_name={"train": ["Loss", "NLL"], "test": ["Loss", "NLL"]},
                      optimizer_name="Adam", lr=3e-4, weight_decay=0,

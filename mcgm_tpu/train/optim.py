@@ -26,6 +26,15 @@ def make_optimizer(cfg: dict, lr: float | None = None,
     lr = cfg["lr"] if lr is None else lr
     name = cfg["optimizer_name"]
     wd = cfg.get("weight_decay", 0.0) or 0.0
+    # linear per-STEP update warmup (multiplier 1/w .. 1 over the first w
+    # steps), composed INSIDE the jitted step so it works at any
+    # steps_per_dispatch. Stabilizer for glow's violent first-update
+    # transient (round-5 cglow root-cause, docs/DESIGN.md): Adam's fresh
+    # bias-corrected moments make the very first updates sign-like and
+    # coherent across all flow scales, which at K=16/512 width overshoots
+    # into f32-overflow territory on some seeds. 0 = off. The host-side
+    # Scheduler still owns the epoch-level lr (they compose).
+    warmup = int(cfg.get("lr_warmup_steps", 0) or 0)
 
     @optax.inject_hyperparams
     def build(learning_rate):
@@ -53,6 +62,9 @@ def make_optimizer(cfg: dict, lr: float | None = None,
             chain.append(optax.adamax(learning_rate, b1=betas[0], b2=betas[1]))
         else:
             raise ValueError(f"Not valid optimizer name: {name}")
+        if warmup > 0:
+            chain.append(optax.scale_by_schedule(
+                lambda count: jnp.minimum(1.0, (count + 1.0) / warmup)))
         return optax.chain(*chain)
 
     return build(learning_rate=lr)

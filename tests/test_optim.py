@@ -227,3 +227,36 @@ def test_fused_g_pass_matches_sequential():
             np.testing.assert_allclose(
                 np.asarray(x), np.asarray(y), atol=2e-5,
                 err_msg=f"{name}{jax.tree_util.keystr(p)}")
+
+
+def test_lr_warmup_steps_scales_updates():
+    """make_optimizer(lr_warmup_steps=N): updates ramp linearly (1/N, 2/N,
+    ..., 1) and the schedule composes with the runtime-mutable lr."""
+    import jax.numpy as jnp
+    import optax
+
+    from mcgm_tpu.train.optim import make_optimizer, set_learning_rate
+
+    params = {"w": jnp.zeros(3)}
+    grads = {"w": jnp.ones(3)}
+    opt = make_optimizer({"optimizer_name": "SGD", "lr": 1.0,
+                          "weight_decay": 0, "lr_warmup_steps": 4})
+    st = opt.init(params)
+    mags = []
+    for _ in range(6):
+        upd, st = opt.update(grads, st, params)
+        mags.append(float(-upd["w"][0]))
+    assert np.allclose(mags, [0.25, 0.5, 0.75, 1.0, 1.0, 1.0])
+    # composes with a mutated lr
+    st = set_learning_rate(st, 0.1)
+    upd, st = opt.update(grads, st, params)
+    assert np.isclose(float(-upd["w"][0]), 0.1)
+
+
+def test_glow_family_gets_warmup_default():
+    from mcgm_tpu.train.loop import apply_family_overrides
+
+    cfg = apply_family_overrides({"model_name": "cglow"})
+    assert cfg["lr_warmup_steps"] == 16
+    cfg2 = apply_family_overrides({"model_name": "mcvae"})
+    assert not cfg2.get("lr_warmup_steps")

@@ -102,17 +102,14 @@ def main():
                           "weight_decay": 0}, grad_clip=1.0)
     opt_state = opt.init(params)
 
-    def loss_fn(params, batch, key):
-        variables = merge_variables(params, state)
-        out = model.apply(variables, batch, train=True, rngs={"noise": key})
-        return out["loss"]
+    # the Experiment's own step factory (known-good compile path on the
+    # tunnel; a separate jit(value_and_grad) of the scan glow traced
+    # pathologically slowly there)
+    from mcgm_tpu.train.state import make_train_step
 
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
-
-    @jax.jit
-    def apply_upd(params, opt_state, grads):
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state
+    ts = TrainState(params=params, state=state, opt_state=opt.init(params),
+                    rng=jax.random.PRNGKey(args.seed + 100))
+    train_step = jax.jit(make_train_step(model, opt, rng_streams=("noise",)))
 
     @jax.jit
     def eval_loss(params, batch, key):
@@ -136,26 +133,25 @@ def main():
     for epoch in range(1, args.epochs + 1):
         loader.set_epoch(epoch)
         for b in loader:
-            k, sk = jax.random.split(k)
             batch = {"img": b["img"], "label": b["label"]}
-            loss, grads = grad_fn(params, batch, sk)
-            gnorm = float(optax.global_norm(grads))
-            new_params, new_opt = apply_upd(params, opt_state, grads)
-            pmax = health(new_params, top=1)[0]
-            print(f"step {step_i:3d} loss={float(loss):12.4f} "
-                  f"gnorm={gnorm:12.4e} max|p|={pmax[0]:10.3e} "
+            prev_params = ts.params
+            ts, aux = train_step(ts, batch)
+            loss = float(aux["loss"])
+            pmax = health(ts.params, top=1)[0]
+            print(f"step {step_i:3d} loss={loss:14.4f} "
+                  f"max|p|={pmax[0]:10.3e} finite={pmax[1]:5.1%} "
                   f"({pmax[2]})", flush=True)
-            if not np.isfinite(gnorm):
-                print("  >> non-finite gradients; worst grad leaves:")
-                for mx, finite, name in health(grads, top=6):
-                    print(f"     max|g|={mx:10.3e} finite={finite:5.1%} {name}")
-                print("  >> params BEFORE this update (still finite?):")
-                for mx, finite, name in health(params, top=6):
+            if not np.isfinite(loss) or pmax[1] < 1.0:
+                print("  >> params went non-finite; worst leaves:")
+                for mx, finite, name in health(ts.params, top=6):
                     print(f"     max|p|={mx:10.3e} finite={finite:5.1%} {name}")
-            params, opt_state = new_params, new_opt
+                print("  >> params BEFORE this step:")
+                for mx, finite, name in health(prev_params, top=6):
+                    print(f"     max|p|={mx:10.3e} finite={finite:5.1%} {name}")
+                return
             step_i += 1
         k, ek = jax.random.split(k)
-        ev = float(eval_loss(params, batch, ek))
+        ev = float(eval_loss(ts.params, batch, ek))
         print(f"epoch {epoch}: eval-mode loss on last batch = {ev:.4f}",
               flush=True)
 
