@@ -46,17 +46,41 @@ from mcgm_tpu.train.loop import Experiment, apply_family_overrides
 
 
 def base_cfg(model_name: str, control_name: str, data_name: str,
-             out_dir: str, epochs: int):
+             out_dir: str, epochs: int, tiny: bool = False):
     cfg = load_config()
     cfg = apply_control_name(cfg, control_name)
     cfg.update(model_name=model_name, data_name=data_name,
                output_dir=out_dir, num_epochs=epochs, resume_mode=0,
                dispatch_timeout=900)
+    if tiny:  # CPU smoke of the driver logic, not a measurement
+        cfg.update(derive_model_size=False, limit_train_batches=2,
+                   limit_eval_batches=2)
+        cfg = process_control(cfg)
+        cfg["derive_model_params"] = False
+        cfg["vae"] = {"hidden_size": [8, 16, 32], "latent_size": 16,
+                      "num_res_block": 1, "embedding_size": 8}
+        cfg["gan"] = {"latent_size": 16,
+                      "generator_hidden_size": [16, 16, 16, 16],
+                      "discriminator_hidden_size": [16, 16, 16, 16],
+                      "embedding_size": 8}
+        cfg["glow"] = {"hidden_size": 16, "K": 2, "L": 3, "affine": True,
+                       "conv_lu": True, "scan_flows": False}
+        cfg["vqvae"] = {"hidden_size": [16, 16], "num_res_block": 1,
+                        "embedding_size": 8, "num_embedding": 32,
+                        "vq_commit": 0.25}
+        cfg["pixelcnn"] = {"num_layer": 3, "hidden_size": 16,
+                           "num_embedding": 32}
+        cfg["classifier"] = {"hidden_size": [4, 8, 8, 8]}
+        cfg["batch_size"] = {"train": 32, "test": 64}
+        cfg["d_iter"] = 2
+        return cfg
     return process_control(cfg)
 
 
-def run_cell(model_name, control_name, data_name, out_dir, epochs, rows):
-    cfg = base_cfg(model_name, control_name, data_name, out_dir, epochs)
+def run_cell(model_name, control_name, data_name, out_dir, epochs, rows,
+             tiny=False):
+    cfg = base_cfg(model_name, control_name, data_name, out_dir, epochs,
+                   tiny=tiny)
     exp = Experiment(cfg)
     t0 = time.time()
     logger = exp.run()
@@ -86,21 +110,27 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--families", default="classifier,vqvae,mcvae,mcglow,"
                                           "mcpixelcnn,mcgan")
+    ap.add_argument("--cpu", action="store_true",
+                    help="CPU smoke (tiny models via derive_model_params=False)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     K = args.modes
     # Omniglot is 1-channel; COIL100 is 3-channel — mirror the channel count
     data_name = f"SyntheticGray{K}" if K >= 1000 else f"Synthetic{K}"
     out_dir = args.out or f"/tmp/mcgm_hm{K}"
     rows = {"modes": K, "data_name": data_name,
             "device": str(jax.devices()[0]),
-            "model_size": "production (process_control)"}
+            "model_size": ("tiny (CPU smoke — NOT a measurement)"
+                           if args.cpu else "production (process_control)")}
     fams = args.families.split(",")
     t_all = time.time()
 
     gen_exp = None
     for fam in fams:
         control = "None" if fam in ("classifier", "vqvae") else "0.5"
-        exp = run_cell(fam, control, data_name, out_dir, args.epochs, rows)
+        exp = run_cell(fam, control, data_name, out_dir, args.epochs, rows,
+                       tiny=args.cpu)
         if fam == "mcgan":
             gen_exp = exp
 
@@ -149,7 +179,7 @@ def main():
     rows["total_wall_s"] = round(time.time() - t_all, 1)
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "artifacts",
-        f"high_modes_{K}.json")
+        f"high_modes_{K}{'_smoke' if args.cpu else ''}.json")
     with open(path, "w") as f:
         json.dump(rows, f, indent=1)
     print(f"wrote {path}")
