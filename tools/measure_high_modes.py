@@ -126,11 +126,22 @@ def main():
     fams = args.families.split(",")
     t_all = time.time()
 
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "artifacts",
+        f"high_modes_{K}{'_smoke' if args.cpu else ''}.json")
+
+    def flush():
+        rows["total_wall_s"] = round(time.time() - t_all, 1)
+        with open(path, "w") as f:
+            json.dump(rows, f, indent=1)
+
     gen_exp = None
     for fam in fams:
         control = "None" if fam in ("classifier", "vqvae") else "0.5"
         exp = run_cell(fam, control, data_name, out_dir, args.epochs, rows,
                        tiny=args.cpu)
+        flush()  # partial artifact after every family — an overrun still
+        #          leaves committed evidence
         if fam == "mcgan":
             gen_exp = exp
 
@@ -151,15 +162,18 @@ def main():
             "n_images": int(out.shape[0]),
             "wall_s": round(time.time() - t0, 1),
         }
+        flush()
         print(f"[generate] {out.shape[0]} imgs in {rows['generate']['wall_s']}s")
         t0 = time.time()
         created = create_workflow(sampler, tag, rng=rng)
         rows["create"] = {"n_images": int(created.shape[0]),
                           "wall_s": round(time.time() - t0, 1)}
+        flush()
         print(f"[create] {created.shape[0]} imgs in {rows['create']['wall_s']}s")
         t0 = time.time()
         transit_workflow(sampler, tag, rng=rng)
         rows["transit"] = {"wall_s": round(time.time() - t0, 1)}
+        flush()
         print(f"[transit] {rows['transit']['wall_s']}s")
 
         # DBI over the full generated sweep (32,460 x n_pixels doubles at
@@ -176,12 +190,7 @@ def main():
                        "wall_s": round(time.time() - t0, 1)}
         print(f"[dbi] {val:.4f} over {out.shape[0]} in {rows['dbi']['wall_s']}s")
 
-    rows["total_wall_s"] = round(time.time() - t_all, 1)
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "docs", "artifacts",
-        f"high_modes_{K}{'_smoke' if args.cpu else ''}.json")
-    with open(path, "w") as f:
-        json.dump(rows, f, indent=1)
+    flush()
     print(f"wrote {path}")
 
 
