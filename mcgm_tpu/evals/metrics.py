@@ -151,7 +151,12 @@ def dbi(img: np.ndarray, label: np.ndarray) -> float:
         np.mean(np.linalg.norm(x[label == c] - centroids[i], axis=1))
         for i, c in enumerate(classes)
     ])
-    d = np.linalg.norm(centroids[:, None, :] - centroids[None, :, :], axis=-1)
+    # pairwise centroid distances via the gram identity — the naive
+    # [k, k, D] broadcast is 21 GB at the Omniglot width (1,623 modes x
+    # 3,072 pixels); this is [k, k] only
+    sq = np.sum(centroids ** 2, axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (centroids @ centroids.T)
+    d = np.sqrt(np.maximum(d2, 0.0))
     ratio = (s[:, None] + s[None, :]) / np.where(d == 0, np.inf, d)
     np.fill_diagonal(ratio, -np.inf)
     return float(np.mean(np.max(ratio, axis=1)))
