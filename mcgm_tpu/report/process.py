@@ -108,6 +108,8 @@ def make_vis(summary: dict, output_dir: str = "./output",
         if pivot not in metrics:
             continue
         best_seed = metrics[pivot]["argmax"]
+        if best_seed is None:  # every seed diverged — nothing to visualize
+            continue
         parts = cell.split("_")
         # cell = {data}_{subset}_{model}[_{rate}]
         data, subset, model = parts[0], parts[1], parts[2]
