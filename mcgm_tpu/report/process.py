@@ -102,12 +102,20 @@ def process(output_dir: str = "./output") -> dict:
 def make_vis(summary: dict, output_dir: str = "./output",
              pivot: str = "generated/InceptionScore") -> str:
     """Emit a shell script re-running generate/transit/create for the best
-    seed of each cell (reference process.py:101-142 ``make_vis``)."""
+    seed of each cell (reference process.py:101-142 ``make_vis``).
+
+    The reference hardcodes the max-better IS pivot (process.py:120-122);
+    this version accepts any metric, so "best" follows the metric's
+    direction — min-better names (FID/Loss/NLL/MSE/BCE/DBI) use ``argmin``.
+    """
+    min_better = ("fid", "loss", "nll", "mse", "bce", "dbi")
+    arg = ("argmin" if any(m in pivot.lower() for m in min_better)
+           else "argmax")
     lines = ["#!/bin/bash"]
     for cell, metrics in sorted(summary.items()):
         if pivot not in metrics:
             continue
-        best_seed = metrics[pivot]["argmax"]
+        best_seed = metrics[pivot][arg]
         if best_seed is None:  # every seed diverged — nothing to visualize
             continue
         parts = cell.split("_")

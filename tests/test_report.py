@@ -187,3 +187,31 @@ def test_summarize_flags_diverged_seeds():
     s2 = summarize({"C": {"test/Loss": {"0": float("nan")}}})
     e = s2["C"]["test/Loss"]
     assert e["mean"] is None and e["n_diverged"] == 1
+
+
+def test_make_vis_best_seed_follows_metric_direction(tmp_path):
+    """make_vis picks the best seed per cell: argmax for max-better pivots
+    (the reference's hardcoded IS, process.py:120-122), argmin for
+    min-better ones (FID/Loss/...), and skips cells where every seed
+    diverged (null argmax after the n_diverged aggregation change)."""
+    from mcgm_tpu.report.process import make_vis
+
+    summary = summarize({
+        "Synthetic_label_mcgan_0.5": {
+            "generated/InceptionScore": {"0": 2.0, "1": 5.0, "2": 3.0},
+            "generated/FID": {"0": 10.0, "1": 30.0, "2": 20.0},
+        },
+        "Synthetic_label_cglow_0.5": {
+            "generated/InceptionScore": {"0": float("nan")},
+        },
+    })
+    path = make_vis(summary, str(tmp_path))
+    text = open(path).read()
+    # max-better default pivot: seed 1 wins; fully-diverged cglow cell absent
+    assert "--model_name mcgan --control_name 0.5 --init_seed 1" in text
+    assert "cglow" not in text
+    for script in ("generate", "transit", "create"):
+        assert f"python {script}.py" in text
+    # min-better pivot: lowest FID (seed 0) wins, not argmax
+    path = make_vis(summary, str(tmp_path), pivot="generated/FID")
+    assert "--init_seed 0" in open(path).read()
